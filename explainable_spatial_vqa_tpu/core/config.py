@@ -1,0 +1,276 @@
+"""Typed configuration system.
+
+Replaces the reference's per-script ``class Config`` constant blocks and
+hardcoded laptop/cluster path switches (e.g. train_transformer_iqap.py:16-40)
+with one dataclass tree plus named experiment presets.  Every preset
+reproduces one reference training script as configuration, per SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+__all__ = [
+    "DataConfig",
+    "OptimConfig",
+    "GeneratorConfig",
+    "ExecutorConfig",
+    "IQAPConfig",
+    "LstmIQAPConfig",
+    "StepSeq2SeqConfig",
+    "TrainConfig",
+    "ExperimentConfig",
+    "PRESETS",
+    "get_preset",
+]
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    features_h5: str = "data/train_features.h5"
+    questions_h5: str = "data/train_questions.h5"
+    annotated_h5: str = "data/annotated_questions.h5"
+    vocab_json: str = "data/vocab.json"
+    split_vocab_json: str = "data/vocab3.json"
+    max_question_len: int = 46
+    max_program_len: int = 27
+    max_src_len: int = 50
+    max_tgt_len: int = 20
+    max_input_boxes: int = 18
+    max_output_boxes: int = 10
+    subset_fraction: float = 1.0
+    validation_split: float = 0.1
+    test_split: float = 0.1
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    learning_rate: float = 1e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    grad_clip_norm: Optional[float] = None
+    lr_step_size: Optional[int] = None  # epochs between step decays
+    lr_gamma: float = 0.1
+    weight_decay: float = 0.0
+
+
+@dataclass(frozen=True)
+class GeneratorConfig:
+    """Program generator (thesis §3.4.1: 3-layer bi-LSTM encoder, 3-layer
+    decoder with Luong dot attention, emb 300, hid 512, TF 0.5)."""
+
+    vocab_size: int = 96
+    program_vocab_size: int = 45
+    embed_dim: int = 300
+    hidden_dim: int = 512
+    encoder_layers: int = 3
+    decoder_layers: int = 3
+    bidirectional: bool = True
+    attention: bool = True
+    dropout: float = 0.3
+    teacher_forcing: float = 0.5
+    program_len: int = 27
+    simple: bool = False  # True = checked-in 1-layer no-attention variant
+
+
+@dataclass(frozen=True)
+class ExecutorConfig:
+    """Program executor (thesis §3.4.2: fusion encoder CLS+P+10+3 d=512 3L/4H,
+    routing head, DETR-style box decoder with 10 queries/2L, token head)."""
+
+    vocab_size: int = 128
+    d_model: int = 512
+    num_heads: int = 4
+    encoder_layers: int = 3
+    box_decoder_layers: int = 2
+    num_queries: int = 10
+    num_image_tokens: int = 196
+    image_feature_dim: int = 1024
+    max_input_boxes: int = 10
+    num_text_tokens: int = 3
+    token_classes: int = 32
+    dropout: float = 0.1
+    conf_threshold: float = 0.5
+    # loss weights (thesis Table 4.1)
+    routing_weight: float = 0.1
+    bbox_weight: float = 5.0
+    token_weight: float = 1.0
+    # Hungarian cost weights
+    cost_l1: float = 5.0
+    cost_giou: float = 2.0
+    cost_conf: float = 1.0
+    matcher: str = "hungarian"  # or "sinkhorn"
+
+
+@dataclass(frozen=True)
+class IQAPConfig:
+    """Transformer IQAP baseline family (train_transformer_iqap*.py)."""
+
+    vocab_size: int = 96
+    program_vocab_size: int = 45
+    num_answer_classes: int = 32
+    embed_dim: int = 256
+    hidden_dim: int = 256
+    num_heads: int = 4
+    encoder_layers: int = 2
+    decoder_layers: int = 2
+    num_image_tokens: int = 196
+    image_feature_dim: int = 1024
+    program_len: int = 27
+    max_question_len: int = 46
+    dropout: float = 0.1
+    sos_token: int = 1
+    answer_loss_weight: float = 1.0
+    program_loss_weight: float = 1.0
+    with_bbox_head: bool = False
+    num_bbox_slots: int = 10
+
+
+@dataclass(frozen=True)
+class LstmIQAPConfig:
+    """LSTM IQAP/IQA family (train_lstm_iqap.py / train_lstm_iqa.py)."""
+
+    vocab_size: int = 96
+    program_vocab_size: int = 45
+    num_answer_classes: int = 32
+    embed_dim: int = 256
+    hidden_dim: int = 512
+    image_feature_dim: int = 1024
+    image_spatial: Tuple[int, int] = (14, 14)
+    program_len: int = 27
+    with_program_decoder: bool = True
+    teacher_forcing: float = 0.5
+    dropout: float = 0.5
+
+
+@dataclass(frozen=True)
+class StepSeq2SeqConfig:
+    """Step executor seq2seq (train_transformer_full_annotation_new.py:35-76)."""
+
+    vocab_size: int = 128
+    d_model: int = 256
+    num_heads: int = 4
+    encoder_layers: int = 2
+    decoder_layers: int = 2
+    ffn_dim: int = 512
+    dropout: float = 0.1
+    max_src_len: int = 50
+    max_tgt_len: int = 20
+    num_image_tokens: int = 196
+    image_feature_dim: int = 1024
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 16
+    num_epochs: int = 100
+    patience: int = 10
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_interval: int = 10
+    log_every: int = 50
+    eval_every: int = 1
+    dtype: str = "bfloat16"  # compute dtype; params stay float32
+    mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the data axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+    seed: int = 42
+    resume: bool = True
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    model_family: str  # generator | executor | iqap | lstm_iqap | step_seq2seq
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    model: Any = None
+
+    def replace(self, **kwargs: Any) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def _preset_map() -> Dict[str, ExperimentConfig]:
+    presets: Dict[str, ExperimentConfig] = {}
+
+    # Thesis-final pair (hyperparams of record: BASELINE.md / thesis Table 4.1)
+    presets["generator"] = ExperimentConfig(
+        name="generator",
+        model_family="generator",
+        model=GeneratorConfig(),
+        optim=OptimConfig(learning_rate=1e-3),
+        train=TrainConfig(batch_size=64, num_epochs=20, patience=5),
+    )
+    presets["executor"] = ExperimentConfig(
+        name="executor",
+        model_family="executor",
+        model=ExecutorConfig(),
+        optim=OptimConfig(learning_rate=1e-4),
+        train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
+    )
+
+    # Checked-in reference script configurations
+    presets["lstm_qp"] = ExperimentConfig(
+        name="lstm_qp",
+        model_family="generator",
+        model=GeneratorConfig(
+            embed_dim=256, hidden_dim=512, encoder_layers=1, decoder_layers=1,
+            bidirectional=False, attention=False, dropout=0.5, simple=True,
+        ),
+        optim=OptimConfig(learning_rate=1e-3),
+        train=TrainConfig(batch_size=64, num_epochs=20, patience=5),
+    )
+    presets["transformer_iqap"] = ExperimentConfig(
+        name="transformer_iqap",
+        model_family="iqap",
+        model=IQAPConfig(),
+        optim=OptimConfig(learning_rate=1e-3, grad_clip_norm=1.0, lr_step_size=10),
+        train=TrainConfig(batch_size=64, num_epochs=100, patience=10),
+    )
+    presets["transformer_iqap_bb"] = ExperimentConfig(
+        name="transformer_iqap_bb",
+        model_family="iqap",
+        model=IQAPConfig(encoder_layers=1, decoder_layers=1, with_bbox_head=True),
+        optim=OptimConfig(learning_rate=1e-3, grad_clip_norm=1.0),
+        train=TrainConfig(batch_size=64, num_epochs=100, patience=10),
+    )
+    presets["lstm_iqap"] = ExperimentConfig(
+        name="lstm_iqap",
+        model_family="lstm_iqap",
+        model=LstmIQAPConfig(),
+        optim=OptimConfig(learning_rate=1e-3),
+        train=TrainConfig(batch_size=64, num_epochs=50, patience=5),
+    )
+    presets["lstm_iqa"] = ExperimentConfig(
+        name="lstm_iqa",
+        model_family="lstm_iqap",
+        model=LstmIQAPConfig(with_program_decoder=False),
+        optim=OptimConfig(learning_rate=1e-3),
+        train=TrainConfig(batch_size=64, num_epochs=50, patience=5),
+    )
+    presets["step_seq2seq"] = ExperimentConfig(
+        name="step_seq2seq",
+        model_family="step_seq2seq",
+        model=StepSeq2SeqConfig(),
+        optim=OptimConfig(learning_rate=1e-4),
+        train=TrainConfig(batch_size=32, num_epochs=10),
+    )
+    return presets
+
+
+PRESETS: Dict[str, ExperimentConfig] = _preset_map()
+
+
+def get_preset(name: str, **overrides: Any) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    config = PRESETS[name]
+    if overrides:
+        config = config.replace(**overrides)
+    return config

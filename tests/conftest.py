@@ -1,0 +1,60 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so that multi-chip sharding logic is
+exercised without TPU hardware (the flags must be set before jax imports)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import json
+import pathlib
+
+import pytest
+
+DATA_DIR = pathlib.Path(__file__).parent / "data"
+REFERENCE_DIR = pathlib.Path("/root/reference/code")
+
+
+@pytest.fixture(scope="session")
+def golden():
+    with open(DATA_DIR / "golden_reference.json") as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def golden_synthetic():
+    with open(DATA_DIR / "golden_synthetic.json") as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def fixture_scene():
+    path = REFERENCE_DIR / "inspecting_scripts" / "CLEVR_val_scenes_first.json"
+    if not path.exists():
+        pytest.skip("reference fixtures unavailable")
+    with open(path) as f:
+        return json.load(f)["scenes"][0]
+
+
+@pytest.fixture(scope="session")
+def fixture_val_question():
+    path = REFERENCE_DIR / "inspecting_scripts" / "CLEVR_val_questions_first.json"
+    if not path.exists():
+        pytest.skip("reference fixtures unavailable")
+    with open(path) as f:
+        return json.load(f)["questions"][0]
+
+
+@pytest.fixture(scope="session")
+def fixture_train_question():
+    path = REFERENCE_DIR / "examples" / "CLEVR_train_questions_first.json"
+    if not path.exists():
+        pytest.skip("reference fixtures unavailable")
+    with open(path) as f:
+        return json.load(f)["questions"][0]
