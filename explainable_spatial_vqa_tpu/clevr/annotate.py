@@ -148,6 +148,82 @@ def annotate_question(
     return annotated
 
 
+def annotate_question_full(
+    question: Dict[str, Any],
+    scene: Scene,
+    boxes: Optional[Any] = None,
+) -> Dict[str, Any]:
+    """The ``full_annotation`` variant consumed by the step-executor trainer
+    (/root/reference/code/preprocess_scenes/preprocess_full_annotation.py:232-353).
+
+    Differences from v3: 1-decimal boxes rendered with ``str(float)`` (so
+    ``[0.1 0.2 0.3 0.4]``), and ``input_values`` built from the *input steps'*
+    relevant objects (spatial) or node outputs (non-spatial) rather than
+    chaining output_values.
+    """
+    program = question["program"]
+    if boxes is None:
+        boxes = scene_bounding_boxes(scene.raw, decimals=1)
+    node_outputs, relevant = _execute_with_poisoning(scene, program)
+    num_objects = len(scene.objects)
+
+    def bbox_strs(obj_indices: Sequence[Any]) -> List[str]:
+        return [
+            "[%s %s %s %s]" % tuple(map(repr, map(float, boxes[obj_idx])))
+            for obj_idx in obj_indices
+            if obj_idx is not None and 0 <= obj_idx < num_objects
+        ]
+
+    annotated_program: List[Dict[str, Any]] = []
+    chain_list: List[str] = []
+    for i, step in enumerate(program):
+        annotated_step = {k: v for k, v in step.items() if k != "value_inputs"}
+        function_name = annotated_step.get("function", "")
+        values = step.get("value_inputs") or []
+        combined = f"{function_name}[{','.join(map(str, values))}]" if values else function_name
+        annotated_step["function"] = combined
+
+        chain_list.append(
+            (f"{combined} " + " ".join(map(str, step.get("inputs", [])))).strip()
+        )
+
+        base = combined.split("[")[0]
+        if base in NON_SPATIAL_FUNCTIONS:
+            cleaned = []
+            for inp in step.get("inputs", []):
+                text = str(node_outputs[inp])
+                if text.startswith("[") and text.endswith("]"):
+                    text = text[1:-1]
+                cleaned.append(text)
+            annotated_step["input_values"] = " ".join(cleaned).strip()
+        else:
+            all_boxes: List[str] = []
+            for inp in step.get("inputs", []):
+                if inp < len(relevant):
+                    all_boxes.extend(bbox_strs(relevant[inp]))
+            annotated_step["input_values"] = " ".join(all_boxes).strip()
+
+        if base in NON_SPATIAL_FUNCTIONS:
+            text = str(node_outputs[i])
+            if text.startswith("[") and text.endswith("]"):
+                text = text[1:-1]
+            annotated_step["output_values"] = text.strip()
+        elif base in SPATIAL_FUNCTIONS:
+            annotated_step["output_values"] = " ".join(bbox_strs(relevant[i])).strip()
+        else:
+            annotated_step["output_values"] = ""
+        annotated_program.append(annotated_step)
+
+    annotated = {
+        k: v
+        for k, v in question.items()
+        if k not in ("program", "image_filename", "split", "question_family_index")
+    }
+    annotated["annotated_program"] = annotated_program
+    annotated["final_chain_of_thought"] = chain_list
+    return annotated
+
+
 # ---------------------------------------------------------------------------
 # Corpus sweep (parallel)
 # ---------------------------------------------------------------------------

@@ -137,6 +137,69 @@ def is_bounding_box_text(text: str) -> bool:
     return " ".join(matches).strip() == text.strip()
 
 
+def build_joint_vocab(
+    annotated_questions: Sequence[Dict[str, Any]],
+) -> Dict[str, int]:
+    """Single joint vocab over annotated records, bbox-coordinate tokens
+    included (the ``full_annotation`` scheme consumed by the step-executor
+    trainer; preprocess_full_annotation.py:378-403).  Indexing starts at 0,
+    no reserved specials — the reference overloads id 0 as CE ignore_index.
+    Chain elements contribute both function and the step-index digits.
+    """
+    vocab: Dict[str, int] = {}
+
+    def add(text: str, field: str) -> None:
+        for token in tokenize_field(text, field):
+            token = canonicalize(token)
+            if token not in vocab:
+                vocab[token] = len(vocab)
+
+    for q in annotated_questions:
+        add(q.get("answer", ""), "other")
+        for chain in q.get("final_chain_of_thought", []):
+            parts = chain.split(maxsplit=1)
+            add(parts[0] if parts else "", "function")
+            if len(parts) > 1:
+                add(parts[1], "other")
+        for step in q.get("annotated_program", []):
+            add(step.get("function", ""), "function")
+            add(step.get("input_values", ""), "other")
+            add(step.get("output_values", ""), "other")
+    return vocab
+
+
+def apply_joint_vocab(
+    annotated_q: Dict[str, Any], vocab: Mapping[str, int]
+) -> Dict[str, Any]:
+    """Convert texts to joint-vocab id strings in place; unknown tokens are
+    silently dropped (preprocess_full_annotation.py:405-426)."""
+
+    def convert(text: str, field: str) -> str:
+        out: List[str] = []
+        for token in tokenize_field(text, field):
+            can = canonicalize(token)
+            if can in vocab:
+                out.append(str(vocab[can]))
+        return " ".join(out)
+
+    annotated_q["answer"] = convert(annotated_q.get("answer", ""), "other")
+
+    def convert_chain(chain: str) -> str:
+        parts = chain.split(maxsplit=1)
+        func = convert(parts[0] if parts else "", "function")
+        rest = convert(parts[1], "other") if len(parts) > 1 else ""
+        return f"{func} {rest}".strip() if rest else func
+
+    annotated_q["final_chain_of_thought"] = [
+        convert_chain(c) for c in annotated_q.get("final_chain_of_thought", [])
+    ]
+    for step in annotated_q.get("annotated_program", []):
+        step["function"] = convert(step.get("function", ""), "function")
+        step["input_values"] = convert(step.get("input_values", ""), "other")
+        step["output_values"] = convert(step.get("output_values", ""), "other")
+    return annotated_q
+
+
 def build_split_vocab(
     annotated_questions: Sequence[Dict[str, Any]],
 ) -> Dict[str, Dict[str, int]]:

@@ -88,3 +88,21 @@ def test_export_scenes(fixture_scene):
     assert out["class_labels"].shape == (1, 5)
     assert (out["class_labels"] > 0).all()
     assert out["image_index"][0] == fixture_scene["image_index"]
+
+
+def test_full_annotation_parity(fixture_scene):
+    """full_annotation variant: 1-dec boxes, joint vocab, input-step grounding."""
+    import copy
+    import json
+    import pathlib
+
+    from explainable_spatial_vqa_tpu.core import vocab as voc
+
+    g = json.load(open(pathlib.Path(__file__).parent / "data" / "golden_full_annotation.json"))
+    scene = Scene.from_raw(fixture_scene)
+    mine = [ann.annotate_question_full(q, scene) for q in g["questions"]]
+    assert mine == g["annotated"]
+    vocab = voc.build_joint_vocab(mine)
+    assert vocab == g["joint_vocab"]
+    converted = [voc.apply_joint_vocab(copy.deepcopy(a), vocab) for a in mine]
+    assert converted == g["converted"]
