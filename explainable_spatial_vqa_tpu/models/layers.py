@@ -95,9 +95,15 @@ class PositionalEncoding(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True, offset: int = 0) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True, offset=0) -> jnp.ndarray:
         table = jnp.asarray(sinusoidal_positions(self.max_len, self.d_model), dtype=x.dtype)
-        x = x + table[offset : offset + x.shape[-2]]
+        if isinstance(offset, int) and offset == 0:
+            x = x + table[: x.shape[-2]]
+        else:
+            # traced offset (single-token decode step)
+            import jax
+
+            x = x + jax.lax.dynamic_slice_in_dim(table, offset, x.shape[-2], axis=0)
         if self.dropout > 0.0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x

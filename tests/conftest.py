@@ -5,12 +5,19 @@ exercised without TPU hardware (the flags must be set before jax imports)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The sandbox's sitecustomize force-registers a remote-TPU backend and
+# overrides jax_platforms at interpreter startup; reset it so tests run on
+# the local 8-device virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import json
 import pathlib
