@@ -1,0 +1,190 @@
+"""The Program Executor — thesis-final architecture (thesis §3.4.2, pp.16-22).
+
+One call executes one program step: given cached image features, up to
+``max_input_boxes`` input bounding boxes (outputs of dependency steps), and a
+3-token text encoding ⟨function, arg1, arg2⟩, it routes to either a DETR-style
+box decoder (spatial functions: emits up to ``num_queries`` boxes with
+confidences) or a token classifier (non-spatial functions: emits one value
+token).
+
+Components:
+- image encoder: 1x1 projection of (B, P, 1024) ResNet conv4 features to
+  d_model + fixed 2D sine-cosine positional embedding (p.17),
+- bbox encoder: 2-layer MLP on the 4 coords + the same 2D embedding evaluated
+  at box centers; padded to ``max_input_boxes`` slots with mask (p.18),
+- text encoder: token embedding + learned positional embedding over the 3
+  slots, mask for absent args (p.18-19),
+- fusion: [CLS | image | boxes | text] -> transformer encoder (3L, 4H, d=512)
+  with key-padding mask (p.19),
+- routing head: linear on the function-token slot -> {box, token} (p.19),
+- box decoder: ``num_queries`` learned queries, 2 decoder layers, per-query
+  2-layer MLP -> sigmoid (xmin, ymin, xmax, ymax, conf) (p.20),
+- token head: linear classifier on CLS (p.20).
+
+No checked-in reference script implements this exactly (SURVEY.md §2.2); the
+closest prototypes are training2.py / training_bb_and_tokensv2-1_hungarian.py.
+Built to the thesis specification.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from explainable_spatial_vqa_tpu.core.config import ExecutorConfig
+from explainable_spatial_vqa_tpu.models.layers import (
+    TransformerEncoder,
+    DecoderBlock,
+    posemb_2d_sincos,
+    posemb_2d_sincos_at,
+)
+
+__all__ = ["ProgramExecutor", "ExecutorOutput"]
+
+ExecutorOutput = Dict[str, jnp.ndarray]
+
+
+class BoxDecoder(nn.Module):
+    """DETR-style set decoder: learned queries cross-attend to fused memory."""
+
+    config: ExecutorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        memory: jnp.ndarray,
+        memory_mask: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        batch = memory.shape[0]
+        queries = self.param(
+            "queries",
+            nn.initializers.normal(0.02),
+            (cfg.num_queries, cfg.d_model),
+        )
+        x = jnp.broadcast_to(queries[None], (batch, cfg.num_queries, cfg.d_model)).astype(
+            self.dtype
+        )
+        for i in range(cfg.box_decoder_layers):
+            # Set prediction: no causal mask on query self-attention.
+            block = DecoderBlock(
+                cfg.d_model, cfg.num_heads, cfg.d_model * 4, cfg.dropout,
+                dtype=self.dtype, name=f"block_{i}",
+            )
+            x = block(x, memory, None, memory_mask, deterministic)
+        h = nn.Dense(cfg.d_model, dtype=self.dtype, name="head_hidden")(x)
+        h = nn.relu(h)
+        out = nn.Dense(5, dtype=jnp.float32, name="head_out")(h)
+        return nn.sigmoid(out)  # (B, Q, 5): xyxy + confidence
+
+
+class ProgramExecutor(nn.Module):
+    config: ExecutorConfig
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.image_proj = nn.Dense(cfg.d_model, dtype=self.dtype, name="image_proj")
+        self.box_mlp_1 = nn.Dense(cfg.d_model, dtype=self.dtype, name="box_mlp_1")
+        self.box_mlp_2 = nn.Dense(cfg.d_model, dtype=self.dtype, name="box_mlp_2")
+        self.text_embed = nn.Embed(cfg.vocab_size, cfg.d_model, name="text_embed")
+        self.text_pos = self.param(
+            "text_pos", nn.initializers.normal(0.02), (cfg.num_text_tokens, cfg.d_model)
+        )
+        self.cls_token = self.param(
+            "cls", nn.initializers.normal(0.02), (1, 1, cfg.d_model)
+        )
+        self.fusion = TransformerEncoder(
+            cfg.encoder_layers, cfg.d_model, cfg.num_heads, cfg.d_model * 4,
+            cfg.dropout, dtype=self.dtype, name="fusion",
+        )
+        self.routing_head = nn.Dense(2, dtype=jnp.float32, name="routing_head")
+        self.token_head = nn.Dense(cfg.token_classes, dtype=jnp.float32, name="token_head")
+        self.box_decoder = BoxDecoder(cfg, dtype=self.dtype, name="box_decoder")
+        grid = int(round(float(np.sqrt(cfg.num_image_tokens))))
+        assert grid * grid == cfg.num_image_tokens, "image tokens must form a square grid"
+        self._image_pos = posemb_2d_sincos(grid, grid, cfg.d_model)
+
+    def encode(
+        self,
+        image_tokens: jnp.ndarray,
+        input_boxes: jnp.ndarray,
+        box_mask: jnp.ndarray,
+        text_tokens: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Fuse modalities.
+
+        image_tokens: (B, P, 1024); input_boxes: (B, S, 4); box_mask: (B, S)
+        bool; text_tokens: (B, 3) int; text_mask: (B, 3) bool.
+        Returns {"memory": (B, 1+P+S+3, d), "key_mask": (B,1,1,L),
+        "cls": (B, d), "func_slot": (B, d)}.
+        """
+        cfg = self.config
+        batch = image_tokens.shape[0]
+
+        img = self.image_proj(image_tokens.astype(self.dtype))
+        img = img + jnp.asarray(self._image_pos, self.dtype)[None]
+
+        centers = jnp.stack(
+            [
+                (input_boxes[..., 0] + input_boxes[..., 2]) * 0.5,
+                (input_boxes[..., 1] + input_boxes[..., 3]) * 0.5,
+            ],
+            axis=-1,
+        )
+        box = self.box_mlp_2(nn.relu(self.box_mlp_1(input_boxes.astype(self.dtype))))
+        box = box + posemb_2d_sincos_at(centers, cfg.d_model).astype(self.dtype)
+
+        text = self.text_embed(text_tokens).astype(self.dtype)
+        text = text + self.text_pos[None].astype(self.dtype)
+
+        cls = jnp.broadcast_to(self.cls_token, (batch, 1, cfg.d_model)).astype(self.dtype)
+        x = jnp.concatenate([cls, img, box, text], axis=1)
+
+        valid = jnp.concatenate(
+            [
+                jnp.ones((batch, 1 + img.shape[1]), dtype=bool),
+                box_mask.astype(bool),
+                text_mask.astype(bool),
+            ],
+            axis=1,
+        )
+        key_mask = valid[:, None, None, :]
+        memory = self.fusion(x, key_mask, deterministic)
+
+        func_slot_index = 1 + img.shape[1] + box.shape[1]  # first text token
+        return {
+            "memory": memory,
+            "key_mask": key_mask,
+            "cls": memory[:, 0],
+            "func_slot": memory[:, func_slot_index],
+        }
+
+    def __call__(
+        self,
+        image_tokens: jnp.ndarray,
+        input_boxes: jnp.ndarray,
+        box_mask: jnp.ndarray,
+        text_tokens: jnp.ndarray,
+        text_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> ExecutorOutput:
+        fused = self.encode(
+            image_tokens, input_boxes, box_mask, text_tokens, text_mask, deterministic
+        )
+        routing_logits = self.routing_head(fused["func_slot"].astype(jnp.float32))
+        token_logits = self.token_head(fused["cls"].astype(jnp.float32))
+        boxes = self.box_decoder(fused["memory"], fused["key_mask"], deterministic)
+        return {
+            "routing_logits": routing_logits,  # (B, 2): 0=box branch, 1=token branch
+            "token_logits": token_logits,  # (B, token_classes)
+            "pred_boxes": boxes[..., :4],  # (B, Q, 4) in [0,1]
+            "pred_conf": boxes[..., 4],  # (B, Q) in [0,1]
+        }

@@ -1,0 +1,153 @@
+"""Program executor (thesis-final) model + set loss tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from explainable_spatial_vqa_tpu.core.config import ExecutorConfig
+from explainable_spatial_vqa_tpu.models.executor import ProgramExecutor
+from explainable_spatial_vqa_tpu.ops.matching import (
+    hungarian_assignment,
+    pairwise_l1,
+    sinkhorn_assignment,
+)
+from explainable_spatial_vqa_tpu.train.losses import cross_entropy, executor_set_loss
+
+CFG = ExecutorConfig(
+    vocab_size=24, d_model=32, num_heads=4, encoder_layers=1, box_decoder_layers=1,
+    num_queries=4, num_image_tokens=16, image_feature_dim=8, max_input_boxes=3,
+    token_classes=10,
+)
+
+
+def _batch(batch=2, rng_seed=0):
+    rng = np.random.RandomState(rng_seed)
+    img = jnp.asarray(rng.rand(batch, CFG.num_image_tokens, 8), jnp.float32)
+    boxes = jnp.asarray(rng.rand(batch, CFG.max_input_boxes, 4), jnp.float32)
+    box_mask = jnp.asarray([[1, 1, 0]] * batch, bool)
+    text = jnp.asarray(rng.randint(0, CFG.vocab_size, (batch, 3)), jnp.int32)
+    text_mask = jnp.asarray([[1, 1, 0]] * batch, bool)
+    return img, boxes, box_mask, text, text_mask
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = ProgramExecutor(CFG)
+    variables = model.init(jax.random.PRNGKey(0), *_batch())
+    return model, variables
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables = model_and_vars
+    out = model.apply(variables, *_batch())
+    assert out["routing_logits"].shape == (2, 2)
+    assert out["token_logits"].shape == (2, CFG.token_classes)
+    assert out["pred_boxes"].shape == (2, CFG.num_queries, 4)
+    assert out["pred_conf"].shape == (2, CFG.num_queries)
+    assert (np.asarray(out["pred_boxes"]) >= 0).all() and (np.asarray(out["pred_boxes"]) <= 1).all()
+
+
+def test_hungarian_exact():
+    # 2 queries, 2 valid targets; cost forces the anti-diagonal assignment
+    cost = jnp.asarray([[[10.0, 1.0, 50.0], [1.0, 10.0, 50.0]]])
+    mask = jnp.asarray([[True, True, False]])
+    assign = np.asarray(hungarian_assignment(cost, mask))
+    np.testing.assert_array_equal(assign, [[1, 0]])
+
+
+def test_hungarian_unmatched_queries():
+    cost = jnp.asarray([[[1.0, 9.0], [2.0, 9.0], [3.0, 9.0]]])  # 3 queries, 1 valid target
+    mask = jnp.asarray([[True, False]])
+    assign = np.asarray(hungarian_assignment(cost, mask))
+    assert (assign >= -1).all()
+    assert (assign == 0).sum() == 1  # exactly one query matched to target 0
+    assert (assign == -1).sum() == 2
+
+
+def test_hungarian_no_targets():
+    cost = jnp.ones((1, 3, 2))
+    mask = jnp.zeros((1, 2), bool)
+    assign = np.asarray(hungarian_assignment(cost, mask))
+    np.testing.assert_array_equal(assign, -np.ones((1, 3)))
+
+
+def test_sinkhorn_assignment_matches_hungarian_when_separable():
+    rng = np.random.RandomState(0)
+    # well-separated targets -> both matchers agree
+    pred = jnp.asarray(rng.rand(1, 3, 4), jnp.float32)
+    target = pred + 0.01 * rng.rand(1, 3, 4).astype(np.float32)
+    cost = pairwise_l1(pred, target)
+    mask = jnp.ones((1, 3), bool)
+    h = np.asarray(hungarian_assignment(cost, mask))
+    s = np.asarray(sinkhorn_assignment(cost, mask))
+    np.testing.assert_array_equal(h, s)
+
+
+def test_cross_entropy_ignore_index():
+    logits = jnp.asarray([[[2.0, 0.0], [0.0, 2.0]]])
+    targets = jnp.asarray([[0, 0]])
+    full = cross_entropy(logits, targets)
+    ignoring = cross_entropy(logits, jnp.asarray([[0, 0]]).at[0, 1].set(0), ignore_index=None)
+    assert np.isclose(full, ignoring)
+    # position 1 has target 0 (= ignore) -> only position 0 counts
+    masked = cross_entropy(logits, targets, ignore_index=0)
+    assert masked == 0.0 or masked >= 0  # all targets ignored -> 0/1 safe
+
+
+def test_executor_loss_and_grads(model_and_vars):
+    model, variables = model_and_vars
+    batch = _batch()
+    rng = np.random.RandomState(1)
+    target_boxes = jnp.asarray(rng.rand(2, 3, 4), jnp.float32)
+    target_mask = jnp.asarray([[1, 1, 0], [1, 0, 0]], bool)
+    token_targets = jnp.asarray([3, 5], jnp.int32)
+    is_box = jnp.asarray([True, False])
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, *batch)
+        losses = executor_set_loss(out, target_boxes, target_mask, token_targets, is_box, CFG)
+        return losses["loss"], losses
+
+    (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert float(parts["routing_loss"]) > 0
+    # sample 1 is token-branch: its queries contribute no box loss
+    assert np.asarray(parts["assignment"]).shape == (2, CFG.num_queries)
+
+
+def test_executor_overfits_tiny_batch(model_and_vars):
+    """A few Adam steps must reduce the loss on a fixed batch (end-to-end
+    differentiability through routing + matching + heads)."""
+    model, variables = model_and_vars
+    batch = _batch()
+    rng = np.random.RandomState(1)
+    target_boxes = jnp.asarray(rng.rand(2, 3, 4), jnp.float32)
+    target_mask = jnp.asarray([[1, 1, 0], [1, 1, 0]], bool)
+    token_targets = jnp.asarray([3, 5], jnp.int32)
+    is_box = jnp.asarray([True, False])
+
+    tx = optax.adam(1e-3)
+    params = variables["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply({"params": p}, *batch)
+            return executor_set_loss(
+                out, target_boxes, target_mask, token_targets, is_box, CFG
+            )["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses[::10]
