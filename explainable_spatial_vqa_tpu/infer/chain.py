@@ -1,0 +1,259 @@
+"""Vectorized chained program execution.
+
+The reference walks each question's chain in Python, one step at a time, one
+question at a time, re-encoding the image every step and growing the decoder
+prefix per token (run_inference_chain,
+/root/reference/code/inference_transformer_full_annotation_new.py:83-146).
+
+The TPU redesign executes *step position k of every question in the batch
+simultaneously*: caches of per-step outputs (box sets / value tokens) live in
+HBM as dense arrays; one jitted ``lax.fori_loop`` iterates over chain
+positions, gathering each step's dependencies from the caches, running the
+executor once for the whole batch, and scattering results back.  Program
+steps are topologically ordered by construction (inputs always have smaller
+indices, utils_programs semantics), so position order is a valid schedule.
+Questions shorter than ``max_steps`` are masked; everything has static shape.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from explainable_spatial_vqa_tpu.core.config import ExecutorConfig, StepSeq2SeqConfig
+from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+
+__all__ = ["ExecutorChainRunner", "Seq2SeqChainRunner", "compact_valid_first"]
+
+
+def compact_valid_first(tokens: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable-move valid entries to the front along the last axis.
+
+    tokens (..., L), valid (..., L) bool -> (compacted tokens, new valid)."""
+    order = jnp.argsort(jnp.logical_not(valid), axis=-1, stable=True)
+    return (
+        jnp.take_along_axis(tokens, order, axis=-1),
+        jnp.take_along_axis(valid, order, axis=-1),
+    )
+
+
+class ChainState(NamedTuple):
+    box_cache: jnp.ndarray  # (N, S, Q, 4)
+    box_mask: jnp.ndarray  # (N, S, Q) bool — confident predicted boxes
+    token_cache: jnp.ndarray  # (N, S) int32
+    token_branch: jnp.ndarray  # (N, S) bool — step produced a token
+    routing: jnp.ndarray  # (N, S) int32 — chosen branch per step
+
+
+class ExecutorChainRunner:
+    """Chained inference for the thesis-final ProgramExecutor."""
+
+    def __init__(self, model, variables, config: ExecutorConfig, max_steps: int = 28):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.max_steps = max_steps
+        self._run = jax.jit(self._run_impl)
+
+    def _run_impl(
+        self,
+        image_tokens: jnp.ndarray,  # (N, P, C)
+        functions: jnp.ndarray,  # (N, S)
+        deps: jnp.ndarray,  # (N, S, 2)
+        num_steps: jnp.ndarray,  # (N,)
+    ) -> ChainState:
+        cfg = self.config
+        n = image_tokens.shape[0]
+        s = self.max_steps
+        q = cfg.num_queries
+        state = ChainState(
+            box_cache=jnp.zeros((n, s, q, 4), jnp.float32),
+            box_mask=jnp.zeros((n, s, q), bool),
+            token_cache=jnp.zeros((n, s), jnp.int32),
+            token_branch=jnp.zeros((n, s), bool),
+            routing=jnp.zeros((n, s), jnp.int32),
+        )
+        rows = jnp.arange(n)
+
+        def gather_dep_boxes(state: ChainState, dep: jnp.ndarray):
+            safe = jnp.clip(dep, 0, None)
+            boxes = state.box_cache[rows, safe]  # (N, Q, 4)
+            mask = state.box_mask[rows, safe] & (dep >= 0)[:, None]
+            return boxes, mask
+
+        def gather_dep_token(state: ChainState, dep: jnp.ndarray):
+            safe = jnp.clip(dep, 0, None)
+            token = state.token_cache[rows, safe]
+            valid = state.token_branch[rows, safe] & (dep >= 0)
+            return jnp.where(valid, token, 0), valid
+
+        def body(k, state: ChainState) -> ChainState:
+            func = functions[:, k]  # (N,)
+            dep0, dep1 = deps[:, k, 0], deps[:, k, 1]
+
+            b0, m0 = gather_dep_boxes(state, dep0)
+            b1, m1 = gather_dep_boxes(state, dep1)
+            all_boxes = jnp.concatenate([b0, b1], axis=1)  # (N, 2Q, 4)
+            all_mask = jnp.concatenate([m0, m1], axis=1)
+            order = jnp.argsort(jnp.logical_not(all_mask), axis=-1, stable=True)
+            all_boxes = jnp.take_along_axis(all_boxes, order[..., None], axis=1)
+            all_mask = jnp.take_along_axis(all_mask, order, axis=1)
+            input_boxes = all_boxes[:, : cfg.max_input_boxes]
+            input_mask = all_mask[:, : cfg.max_input_boxes]
+
+            t0, v0 = gather_dep_token(state, dep0)
+            t1, v1 = gather_dep_token(state, dep1)
+            text = jnp.stack([func, t0, t1], axis=1)
+            text_mask = jnp.stack([jnp.ones_like(v0), v0, v1], axis=1)
+
+            out = self.model.apply(
+                self.variables, image_tokens, input_boxes, input_mask, text, text_mask
+            )
+            is_box = jnp.argmax(out["routing_logits"], axis=-1) == 0  # (N,)
+            pred_token = jnp.argmax(out["token_logits"], axis=-1).astype(jnp.int32)
+            conf_mask = (out["pred_conf"] >= cfg.conf_threshold) & is_box[:, None]
+
+            active = k < num_steps
+
+            def put(cache, value, mask):
+                return cache.at[rows, k].set(jnp.where(mask, value, cache[rows, k]))
+
+            state = ChainState(
+                box_cache=state.box_cache.at[rows, k].set(
+                    jnp.where(active[:, None, None], out["pred_boxes"], 0.0)
+                ),
+                box_mask=state.box_mask.at[rows, k].set(active[:, None] & conf_mask),
+                token_cache=state.token_cache.at[rows, k].set(
+                    jnp.where(active & ~is_box, pred_token, 0)
+                ),
+                token_branch=state.token_branch.at[rows, k].set(active & ~is_box),
+                routing=state.routing.at[rows, k].set(
+                    jnp.where(active, (~is_box).astype(jnp.int32), 0)
+                ),
+            )
+            return state
+
+        return jax.lax.fori_loop(0, s, body, state)
+
+    def run(self, image_tokens, chains: ChainArrays) -> Dict[str, np.ndarray]:
+        state = self._run(
+            jnp.asarray(image_tokens),
+            jnp.asarray(chains.functions),
+            jnp.asarray(chains.deps),
+            jnp.asarray(chains.num_steps),
+        )
+        last = np.asarray(chains.num_steps) - 1
+        rows = np.arange(len(last))
+        return {
+            "final_tokens": np.asarray(state.token_cache)[rows, last],
+            "final_is_token": np.asarray(state.token_branch)[rows, last],
+            "box_cache": np.asarray(state.box_cache),
+            "box_mask": np.asarray(state.box_mask),
+            "token_cache": np.asarray(state.token_cache),
+            "token_branch": np.asarray(state.token_branch),
+        }
+
+
+class Seq2SeqChainRunner:
+    """Chained inference for the step seq2seq model.
+
+    Caches are token *sequences* per step.  src for step k = [function] ++
+    compact(dep output sequences); decoding is the cached greedy scan.  One
+    jit compiles the whole (steps x decode) loop nest.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        config: StepSeq2SeqConfig,
+        max_steps: int = 28,
+        start_token: int = 1,
+        end_token: int = 2,
+        pad_token: int = 0,
+    ):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.max_steps = max_steps
+        self.start_token = start_token
+        self.end_token = end_token
+        self.pad_token = pad_token
+        self._run = jax.jit(self._run_impl)
+
+    def _decode(self, memory, memory_mask):
+        """Greedy decode with KV cache (mirrors ops.decoding.greedy_decode,
+        inlined so the whole chain loop stays in one jit)."""
+        model, variables = self.model, self.variables
+        cfg = self.config
+        batch = memory.shape[0]
+        cache = model.apply(variables, memory, cfg.max_tgt_len, method=model.init_cache)
+        start = jnp.full((batch,), self.start_token, jnp.int32)
+        finished = jnp.zeros((batch,), bool)
+
+        def body(carry, index):
+            token, cache, finished = carry
+            logits, cache = model.apply(
+                variables, token, cache, index, memory_mask, method=model.decode_step
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emitted = jnp.where(finished, self.pad_token, nxt)
+            finished = finished | (nxt == self.end_token)
+            return (emitted, cache, finished), emitted
+
+        (_, _, _), tokens = jax.lax.scan(
+            body, (start, cache, finished), jnp.arange(cfg.max_tgt_len)
+        )
+        return tokens.T  # (B, T)
+
+    def _run_impl(self, image_tokens, functions, deps, num_steps):
+        cfg = self.config
+        n = image_tokens.shape[0]
+        s = self.max_steps
+        t = cfg.max_tgt_len
+        cache = jnp.zeros((n, s, t), jnp.int32)  # decoded output tokens per step
+        rows = jnp.arange(n)
+
+        def body(k, cache):
+            func = functions[:, k]
+            parts = [func[:, None]]
+            masks = [jnp.ones((n, 1), bool)]
+            for d in range(2):
+                dep = deps[:, k, d]
+                safe = jnp.clip(dep, 0, None)
+                seq = cache[rows, safe]  # (N, T)
+                valid = (seq != self.pad_token) & (dep >= 0)[:, None]
+                parts.append(seq)
+                masks.append(valid)
+            src = jnp.concatenate(parts, axis=1)
+            valid = jnp.concatenate(masks, axis=1)
+            src, valid = compact_valid_first(src, valid)
+            src = jnp.where(valid, src, self.pad_token)[:, : cfg.max_src_len]
+            valid = valid[:, : cfg.max_src_len]
+
+            memory, key_mask = self.model.apply(
+                self.variables, image_tokens, src, valid, method=self.model.encode
+            )
+            decoded = self._decode(memory, key_mask)  # (N, T)
+            # strip specials: drop START-less format — decoded starts after
+            # <START>; END and beyond already padded by the decode loop
+            out_tokens = jnp.where(decoded == self.end_token, self.pad_token, decoded)
+            active = (k < num_steps)[:, None]
+            return cache.at[:, k].set(jnp.where(active, out_tokens, 0))
+
+        return jax.lax.fori_loop(0, s, body, cache)
+
+    def run(self, image_tokens, chains: ChainArrays) -> Dict[str, np.ndarray]:
+        cache = self._run(
+            jnp.asarray(image_tokens),
+            jnp.asarray(chains.functions),
+            jnp.asarray(chains.deps),
+            jnp.asarray(chains.num_steps),
+        )
+        cache = np.asarray(cache)
+        last = np.asarray(chains.num_steps) - 1
+        rows = np.arange(len(last))
+        return {"step_outputs": cache, "final_outputs": cache[rows, last]}

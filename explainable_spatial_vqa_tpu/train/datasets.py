@@ -1,0 +1,271 @@
+"""Dataset assembly: annotated questions -> padded training arrays.
+
+Three consumers:
+
+1. **Step seq2seq** (StepExecutorSeq2Seq): flatten questions into per-step
+   (image_index, src tokens, tgt tokens) records, mirroring the reference
+   ``VQADataset`` (train_transformer_full_annotation_new.py:81-134): src =
+   function token + input_values tokens, tgt = output_values tokens, steps
+   with empty tgt dropped.  Specials policy:
+   - ``reference_compat=True``: raw ids, no START/END, pad 0 (the reference
+     overloads vocab id 0 as both a real token and CE ignore-index);
+   - default: tokens shifted by ``SPECIALS_OFFSET`` with <PAD>=0 <START>=1
+     <END>=2 reserved — a sound contract for our own training runs.
+
+2. **Thesis executor** (ProgramExecutor): per-step records with numeric
+   boxes: input box set (from dependency outputs), 3-slot text tokens
+   ⟨func, arg1, arg2⟩, target box set or target value token, branch flag.
+
+3. **Chained inference**: per-question step metadata (function ids,
+   dependency indices, step counts) — see infer/chain.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+from explainable_spatial_vqa_tpu.clevr.executor import NON_SPATIAL_FUNCTIONS
+
+__all__ = [
+    "SPECIALS_OFFSET",
+    "PAD",
+    "START",
+    "END",
+    "flatten_steps",
+    "parse_boxes",
+    "executor_step_arrays",
+    "chain_arrays",
+]
+
+PAD, START, END = 0, 1, 2
+SPECIALS_OFFSET = 3
+
+
+def _encode_tokens(text: str, offset: int) -> List[int]:
+    return [int(tok) + offset for tok in text.split()]
+
+
+def flatten_steps(
+    annotated_questions: Sequence[Dict[str, Any]],
+    max_src_len: int = 50,
+    max_tgt_len: int = 20,
+    reference_compat: bool = False,
+    subset_fraction: float = 1.0,
+) -> Dict[str, np.ndarray]:
+    """Flatten converted (id-string) annotated questions to step records.
+
+    Returns {"image_index", "src", "tgt"} padded int32 arrays.  With specials
+    (default), tgt = <START> tokens <END>; src/tgt token ids are shifted by
+    SPECIALS_OFFSET.
+    """
+    offset = 0 if reference_compat else SPECIALS_OFFSET
+    image_index: List[int] = []
+    srcs: List[List[int]] = []
+    tgts: List[List[int]] = []
+    for q in annotated_questions:
+        for step in q["annotated_program"]:
+            tgt_text = step["output_values"].strip()
+            if not tgt_text:
+                continue
+            src_text = (step["function"] + " " + step["input_values"]).strip()
+            src = _encode_tokens(src_text, offset)[:max_src_len]
+            tgt = _encode_tokens(tgt_text, offset)
+            if not reference_compat:
+                tgt = [START] + tgt + [END]
+            tgt = tgt[:max_tgt_len]
+            image_index.append(q["image_index"])
+            srcs.append(src)
+            tgts.append(tgt)
+
+    total = len(srcs)
+    if subset_fraction < 1.0:
+        total = int(total * subset_fraction)
+        image_index, srcs, tgts = image_index[:total], srcs[:total], tgts[:total]
+
+    src_arr = np.zeros((total, max_src_len), np.int32)
+    tgt_arr = np.zeros((total, max_tgt_len), np.int32)
+    for i, (s, t) in enumerate(zip(srcs, tgts)):
+        src_arr[i, : len(s)] = s
+        tgt_arr[i, : len(t)] = t
+    return {
+        "image_index": np.asarray(image_index, np.int32),
+        "src": src_arr,
+        "tgt": tgt_arr,
+    }
+
+
+_BOX_RE = None
+
+
+def parse_boxes(text: str) -> np.ndarray:
+    """Parse '[x y x y] [x y x y] ...' into (K, 4) float32 (reference
+    parse_bboxes, hungarian:44-54)."""
+    global _BOX_RE
+    if _BOX_RE is None:
+        import re
+
+        _BOX_RE = re.compile(r"\[([^\]]+)\]")
+    rows = []
+    for group in _BOX_RE.findall(text or ""):
+        values = [float(x) for x in group.split()]
+        if len(values) == 4:
+            rows.append(values)
+    if not rows:
+        return np.zeros((0, 4), np.float32)
+    return np.asarray(rows, np.float32)
+
+
+def executor_step_arrays(
+    annotated_questions: Sequence[Dict[str, Any]],
+    function_vocab: Mapping[str, int],
+    value_vocab: Mapping[str, int],
+    max_input_boxes: int = 10,
+    max_output_boxes: int = 10,
+    subset_fraction: float = 1.0,
+) -> Dict[str, np.ndarray]:
+    """Build thesis-executor training records from *raw* (unconverted)
+    annotated questions (text fields still tokens, boxes still bbox strings).
+
+    Per step:
+    - ``text``: (3,) int — function id (function vocab), then up to 2 value
+      tokens from non-spatial dependency outputs (value vocab); pad -1->0 with
+      text_mask.
+    - ``input_boxes``: (max_input_boxes, 4) + ``input_box_mask`` — dependency
+      spatial outputs, concatenated and truncated.
+    - ``target_boxes``: (max_output_boxes, 4) + ``target_box_mask`` for
+      spatial steps; ``token_target`` for non-spatial steps; ``is_box_branch``.
+    Steps whose spatial output is empty (post-INVALID poisoning) are dropped,
+    matching the seq2seq dataset's empty-tgt drop.
+    """
+    records: Dict[str, List[Any]] = {
+        "image_index": [], "text": [], "text_mask": [], "input_boxes": [],
+        "input_box_mask": [], "target_boxes": [], "target_box_mask": [],
+        "token_target": [], "is_box_branch": [],
+    }
+
+    for q in annotated_questions:
+        step_outputs: List[Tuple[str, Any]] = []  # (kind, value) per step
+        for step in q["annotated_program"]:
+            function = step["function"]
+            base = function.split("[")[0]
+            is_box = base not in NON_SPATIAL_FUNCTIONS
+            out_text = step["output_values"].strip()
+
+            # dependency gathering from previously recorded *ground-truth*
+            # outputs (teacher forcing at the step level, as in training data)
+            dep_boxes: List[np.ndarray] = []
+            dep_tokens: List[int] = []
+            for dep in step.get("inputs", []):
+                if dep >= len(step_outputs):
+                    continue
+                kind, value = step_outputs[dep]
+                if kind == "box":
+                    dep_boxes.append(value)
+                elif kind == "token":
+                    dep_tokens.append(value)
+
+            if is_box:
+                target = parse_boxes(out_text)
+                step_outputs.append(("box", target))
+            else:
+                token_id = value_vocab.get(out_text, -1)
+                step_outputs.append(("token", token_id))
+
+            # build the record (skip degenerate steps)
+            if is_box and len(parse_boxes(out_text)) == 0 and out_text == "":
+                continue
+            if not is_box and value_vocab.get(out_text, -1) < 0:
+                continue
+
+            text = [function_vocab.get(function, 0)] + dep_tokens[:2]
+            text_mask = [True] + [True] * len(dep_tokens[:2])
+            while len(text) < 3:
+                text.append(0)
+                text_mask.append(False)
+
+            boxes_in = (
+                np.concatenate(dep_boxes, axis=0) if dep_boxes else np.zeros((0, 4), np.float32)
+            )[:max_input_boxes]
+            in_pad = np.zeros((max_input_boxes, 4), np.float32)
+            in_pad[: len(boxes_in)] = boxes_in
+            in_mask = np.arange(max_input_boxes) < len(boxes_in)
+
+            if is_box:
+                target = parse_boxes(out_text)[:max_output_boxes]
+                t_pad = np.zeros((max_output_boxes, 4), np.float32)
+                t_pad[: len(target)] = target
+                t_mask = np.arange(max_output_boxes) < len(target)
+                token_target = 0
+            else:
+                t_pad = np.zeros((max_output_boxes, 4), np.float32)
+                t_mask = np.zeros(max_output_boxes, bool)
+                token_target = value_vocab[out_text]
+
+            records["image_index"].append(q["image_index"])
+            records["text"].append(text)
+            records["text_mask"].append(text_mask)
+            records["input_boxes"].append(in_pad)
+            records["input_box_mask"].append(in_mask)
+            records["target_boxes"].append(t_pad)
+            records["target_box_mask"].append(t_mask)
+            records["token_target"].append(token_target)
+            records["is_box_branch"].append(is_box)
+
+    total = len(records["image_index"])
+    if subset_fraction < 1.0:
+        total = int(total * subset_fraction)
+    out = {
+        "image_index": np.asarray(records["image_index"][:total], np.int32),
+        "text": np.asarray(records["text"][:total], np.int32),
+        "text_mask": np.asarray(records["text_mask"][:total], bool),
+        "input_boxes": np.asarray(records["input_boxes"][:total], np.float32),
+        "input_box_mask": np.asarray(records["input_box_mask"][:total], bool),
+        "target_boxes": np.asarray(records["target_boxes"][:total], np.float32),
+        "target_box_mask": np.asarray(records["target_box_mask"][:total], bool),
+        "token_target": np.asarray(records["token_target"][:total], np.int32),
+        "is_box_branch": np.asarray(records["is_box_branch"][:total], bool),
+    }
+    return out
+
+
+@dataclass
+class ChainArrays:
+    """Per-question static chain metadata for vectorized inference."""
+
+    image_index: np.ndarray  # (N,)
+    functions: np.ndarray  # (N, S) function-vocab ids, 0-padded
+    deps: np.ndarray  # (N, S, 2) dependency step indices, -1 = absent
+    num_steps: np.ndarray  # (N,)
+    answers: List[str]  # raw answer strings (for eval)
+
+
+def chain_arrays(
+    annotated_questions: Sequence[Dict[str, Any]],
+    function_vocab: Mapping[str, int],
+    max_steps: int = 28,
+) -> ChainArrays:
+    """Parse raw annotated questions into chain-execution metadata.
+
+    Uses ``annotated_program``'s own function/inputs (equivalent to parsing
+    final_chain_of_thought, which serializes exactly these;
+    preprocess_continousv3.py:438-439).
+    """
+    n = len(annotated_questions)
+    functions = np.zeros((n, max_steps), np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    num_steps = np.zeros(n, np.int32)
+    image_index = np.zeros(n, np.int32)
+    answers: List[str] = []
+    for i, q in enumerate(annotated_questions):
+        program = q["annotated_program"][:max_steps]
+        num_steps[i] = len(program)
+        image_index[i] = q["image_index"]
+        answers.append(str(q.get("answer", "")))
+        for s, step in enumerate(program):
+            functions[i, s] = function_vocab.get(step["function"], 0)
+            for d, dep in enumerate(step.get("inputs", [])[:2]):
+                deps[i, s, d] = dep
+    return ChainArrays(image_index, functions, deps, num_steps, answers)

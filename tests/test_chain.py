@@ -1,0 +1,117 @@
+"""Vectorized chained inference: parity with sequential reference-style
+execution, masking, and cache plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from explainable_spatial_vqa_tpu.core.config import ExecutorConfig, StepSeq2SeqConfig
+from explainable_spatial_vqa_tpu.infer.chain import (
+    ExecutorChainRunner,
+    Seq2SeqChainRunner,
+    compact_valid_first,
+)
+from explainable_spatial_vqa_tpu.models.executor import ProgramExecutor
+from explainable_spatial_vqa_tpu.models.step_executor import StepExecutorSeq2Seq
+from explainable_spatial_vqa_tpu.ops.decoding import greedy_decode
+from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+
+
+def test_compact_valid_first():
+    tokens = jnp.asarray([[5, 0, 7, 0, 9]])
+    valid = jnp.asarray([[True, False, True, False, True]])
+    out, mask = compact_valid_first(tokens, valid)
+    np.testing.assert_array_equal(np.asarray(out[0, :3]), [5, 7, 9])
+    np.testing.assert_array_equal(np.asarray(mask[0]), [True, True, True, False, False])
+
+
+def _chains(n=2, max_steps=3):
+    functions = np.zeros((n, max_steps), np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    # q0: scene -> filter(dep 0) -> count(dep 1);  q1: scene -> count(dep 0)
+    functions[0, :3] = [1, 2, 3]
+    deps[0, 1, 0] = 0
+    deps[0, 2, 0] = 1
+    functions[1, :2] = [1, 3]
+    deps[1, 1, 0] = 0
+    num_steps = np.asarray([3, 2], np.int32)
+    return ChainArrays(
+        image_index=np.arange(n, dtype=np.int32),
+        functions=functions,
+        deps=deps,
+        num_steps=num_steps,
+        answers=["x"] * n,
+    )
+
+
+def test_executor_chain_runner_smoke():
+    cfg = ExecutorConfig(
+        vocab_size=16, d_model=32, num_heads=4, encoder_layers=1, box_decoder_layers=1,
+        num_queries=3, num_image_tokens=4, image_feature_dim=8, max_input_boxes=4,
+        token_classes=8,
+    )
+    model = ProgramExecutor(cfg)
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 4, 8), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        img,
+        jnp.zeros((2, 4, 4)),
+        jnp.ones((2, 4), bool),
+        jnp.zeros((2, 3), jnp.int32),
+        jnp.ones((2, 3), bool),
+    )
+    runner = ExecutorChainRunner(model, variables, cfg, max_steps=3)
+    out = runner.run(img, _chains())
+    assert out["final_tokens"].shape == (2,)
+    assert out["box_cache"].shape == (2, 3, 3, 4)
+    # q1 has only 2 steps: nothing written at step 2
+    assert not out["box_mask"][1, 2].any()
+    assert not out["token_branch"][1, 2]
+
+
+def test_seq2seq_chain_matches_sequential():
+    """The fori_loop engine must equal step-by-step sequential execution with
+    the same compaction/decoding logic."""
+    cfg = StepSeq2SeqConfig(
+        vocab_size=16, d_model=16, num_heads=2, encoder_layers=1, decoder_layers=1,
+        ffn_dim=32, max_src_len=8, max_tgt_len=4, num_image_tokens=4, image_feature_dim=8,
+    )
+    model = StepExecutorSeq2Seq(cfg)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 4, 8), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), img, jnp.zeros((2, 5), jnp.int32), jnp.zeros((2, 3), jnp.int32)
+    )
+    chains = _chains()
+    runner = Seq2SeqChainRunner(model, variables, cfg, max_steps=3)
+    out = runner.run(img, chains)
+
+    # sequential per-question execution with identical semantics
+    for qi in range(2):
+        cache = {}
+        for k in range(chains.num_steps[qi]):
+            src = [int(chains.functions[qi, k])]
+            for d in range(2):
+                dep = int(chains.deps[qi, k, d])
+                if dep >= 0:
+                    src.extend(cache[dep])
+            src = src[: cfg.max_src_len]
+            src_arr = jnp.zeros((1, cfg.max_src_len), jnp.int32).at[0, : len(src)].set(
+                jnp.asarray(src, jnp.int32)
+            )
+            valid = jnp.zeros((1, cfg.max_src_len), bool).at[0, : len(src)].set(True)
+            memory, key_mask = model.apply(
+                variables, img[qi : qi + 1], src_arr, valid, method=model.encode
+            )
+            decoded = np.asarray(
+                greedy_decode(model, variables, memory, key_mask, 1, cfg.max_tgt_len,
+                              end_token=2, pad_token=0)
+            )[0].copy()
+            decoded[decoded == 2] = 0
+            cache[k] = [int(t) for t in decoded if t != 0]
+        expected = np.zeros(cfg.max_tgt_len, np.int32)
+        got = out["step_outputs"][qi, chains.num_steps[qi] - 1]
+        seq = cache[int(chains.num_steps[qi]) - 1]
+        expected[: len(seq)] = seq
+        got_compact = got[got != 0]
+        np.testing.assert_array_equal(got_compact, np.asarray(seq))
