@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""End-to-end throughput benchmark: CLEVR-shaped QA pairs/sec/chip.
+
+Pipeline measured (the BASELINE.json north-star path): program generator
+greedy decode (question -> 27 program tokens) + thesis executor chained
+step execution (per program step: fused image/box/text forward, routed
+box-set or token output, dependencies threaded through HBM caches).
+
+``value`` = QA pairs/sec/chip of the vectorized TPU pipeline.
+``vs_baseline`` = value / (throughput of the reference *algorithm* — one
+question at a time, one step at a time, batch=1 — measured on CPU, the
+reference's end-to-end deployment mode per BASELINE.md).
+
+Data is synthetic at exact CLEVR shapes (196x1024 features, question len 46,
+chain depth ~10); weights are random — throughput does not depend on weight
+values.  Set BENCH_N / BENCH_BASELINE_N to scale the run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_pipeline():
+    import jax
+    import jax.numpy as jnp
+
+    from explainable_spatial_vqa_tpu.core.config import ExecutorConfig, GeneratorConfig
+    from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+    from explainable_spatial_vqa_tpu.models.executor import ProgramExecutor
+    from explainable_spatial_vqa_tpu.models.generator import ProgramGenerator
+    from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+
+    gen_cfg = GeneratorConfig(vocab_size=96, program_vocab_size=45, program_len=27)
+    exe_cfg = ExecutorConfig(vocab_size=64, token_classes=32)
+
+    generator = ProgramGenerator(gen_cfg)
+    executor = ProgramExecutor(exe_cfg)
+
+    rng = np.random.RandomState(0)
+    q_init = jnp.asarray(rng.randint(4, 96, (2, 46)), jnp.int32)
+    gen_vars = generator.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        q_init, jnp.zeros((2, 27), jnp.int32),
+    )
+    exe_args = (
+        jnp.zeros((2, exe_cfg.num_image_tokens, exe_cfg.image_feature_dim), jnp.float32),
+        jnp.zeros((2, exe_cfg.max_input_boxes, 4), jnp.float32),
+        jnp.ones((2, exe_cfg.max_input_boxes), bool),
+        jnp.zeros((2, 3), jnp.int32),
+        jnp.ones((2, 3), bool),
+    )
+    exe_vars = executor.init(jax.random.PRNGKey(2), *exe_args)
+    return generator, gen_vars, gen_cfg, executor, exe_vars, exe_cfg
+
+
+def synth_questions(n, exe_cfg, max_steps=10, seed=0):
+    """CLEVR-shaped synthetic eval set: features + questions + chains."""
+    from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+
+    rng = np.random.RandomState(seed)
+    num_images = max(1, n // 10)
+    features = rng.rand(num_images, exe_cfg.num_image_tokens, exe_cfg.image_feature_dim).astype(
+        np.float32
+    )
+    questions = rng.randint(4, 96, (n, 46)).astype(np.int32)
+    functions = np.zeros((n, max_steps), np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    num_steps = rng.randint(max_steps - 3, max_steps + 1, n).astype(np.int32)
+    for i in range(n):
+        s = num_steps[i]
+        functions[i, :s] = rng.randint(1, 40, s)
+        for k in range(1, s):
+            deps[i, k, 0] = k - 1
+            if rng.rand() < 0.2 and k >= 2:
+                deps[i, k, 1] = rng.randint(0, k - 1)
+    image_index = rng.randint(0, num_images, n).astype(np.int32)
+    chains = ChainArrays(image_index, functions, deps, num_steps, [""] * n)
+    return features, questions, chains
+
+
+def run_vectorized(n, batch, device):
+    import jax
+    import jax.numpy as jnp
+
+    from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+
+    generator, gen_vars, gen_cfg, executor, exe_vars, exe_cfg = build_pipeline()
+    features, questions, chains = synth_questions(n, exe_cfg)
+    max_steps = chains.functions.shape[1]
+    runner = ExecutorChainRunner(executor, exe_vars, exe_cfg, max_steps=max_steps)
+
+    generate = jax.jit(
+        lambda q: generator.apply(gen_vars, q, method=generator.generate)
+    )
+
+    def run_all():
+        outs = []
+        for start in range(0, n, batch):
+            q = jnp.asarray(questions[start : start + batch])
+            programs = generate(q)
+            img = jnp.asarray(features[chains.image_index[start : start + batch]])
+            state = runner._run(
+                img,
+                jnp.asarray(chains.functions[start : start + batch]),
+                jnp.asarray(chains.deps[start : start + batch]),
+                jnp.asarray(chains.num_steps[start : start + batch]),
+            )
+            outs.append((programs, state))
+        jax.block_until_ready(outs[-1])
+        return outs
+
+    run_all()  # warmup + compile
+    t0 = time.perf_counter()
+    run_all()
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def run_reference_style(n_questions, device):
+    """The reference algorithm: per question, per step, batch=1 forwards."""
+    import jax
+    import jax.numpy as jnp
+
+    generator, gen_vars, gen_cfg, executor, exe_vars, exe_cfg = build_pipeline()
+    features, questions, chains = synth_questions(n_questions, exe_cfg, seed=1)
+
+    gen_one = jax.jit(
+        lambda q: generator.apply(gen_vars, q, method=generator.generate)
+    )
+    exe_one = jax.jit(
+        lambda img, boxes, bm, text, tm: executor.apply(exe_vars, img, boxes, bm, text, tm)
+    )
+
+    def run_question(i):
+        q = jnp.asarray(questions[i : i + 1])
+        gen_one(q).block_until_ready()
+        img = jnp.asarray(features[chains.image_index[i] : chains.image_index[i] + 1])
+        box_cache = {}
+        token_cache = {}
+        for k in range(int(chains.num_steps[i])):
+            dep_boxes = []
+            dep_tokens = []
+            for d in range(2):
+                dep = int(chains.deps[i, k, d])
+                if dep >= 0:
+                    if dep in box_cache:
+                        dep_boxes.append(box_cache[dep])
+                    if dep in token_cache:
+                        dep_tokens.append(token_cache[dep])
+            boxes = np.zeros((1, exe_cfg.max_input_boxes, 4), np.float32)
+            bmask = np.zeros((1, exe_cfg.max_input_boxes), bool)
+            fill = 0
+            for b, m in dep_boxes:
+                take = min(exe_cfg.max_input_boxes - fill, b.shape[0])
+                boxes[0, fill : fill + take] = b[:take]
+                bmask[0, fill : fill + take] = m[:take]
+                fill += take
+            text = np.zeros((1, 3), np.int32)
+            tmask = np.zeros((1, 3), bool)
+            text[0, 0] = chains.functions[i, k]
+            tmask[0, 0] = True
+            for j, t in enumerate(dep_tokens[:2]):
+                text[0, 1 + j] = t
+                tmask[0, 1 + j] = True
+            out = exe_one(jnp.asarray(img), jnp.asarray(boxes), jnp.asarray(bmask),
+                          jnp.asarray(text), jnp.asarray(tmask))
+            routing = int(np.argmax(np.asarray(out["routing_logits"])[0]))
+            if routing == 0:
+                pb = np.asarray(out["pred_boxes"])[0]
+                pm = np.asarray(out["pred_conf"])[0] >= exe_cfg.conf_threshold
+                box_cache[k] = (pb, pm)
+            else:
+                token_cache[k] = int(np.argmax(np.asarray(out["token_logits"])[0]))
+
+    run_question(0)  # warmup/compile
+    t0 = time.perf_counter()
+    for i in range(n_questions):
+        run_question(i)
+    dt = time.perf_counter() - t0
+    return n_questions / dt
+
+
+def main():
+    import jax
+
+    n = int(os.environ.get("BENCH_N", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    baseline_n = int(os.environ.get("BENCH_BASELINE_N", "8"))
+
+    default = jax.devices()[0]
+    value = run_vectorized(n, batch, default)
+
+    # reference algorithm on CPU (the reference's deployment mode)
+    cpu = jax.devices("cpu")[0] if any(
+        d.platform == "cpu" for d in jax.devices("cpu")
+    ) else default
+    with jax.default_device(cpu):
+        baseline = run_reference_style(baseline_n, cpu)
+
+    print(json.dumps({
+        "metric": "CLEVR val QA pairs/sec/chip end-to-end (generator+executor, synthetic CLEVR shapes)",
+        "value": round(value, 2),
+        "unit": "qa_pairs/sec/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Eval suite: faithfulness quadrants, detection P/R, accuracy breakdowns."""
+
+import numpy as np
+
+from explainable_spatial_vqa_tpu.evalsuite.accuracy import (
+    answer_accuracy_by_type,
+    program_accuracy,
+    question_type,
+)
+from explainable_spatial_vqa_tpu.evalsuite.cogent import CoGenTReport, finetune_subset
+from explainable_spatial_vqa_tpu.evalsuite.detection import (
+    DetectionTally,
+    greedy_box_match,
+)
+from explainable_spatial_vqa_tpu.evalsuite.faithfulness import tally_faithfulness
+
+
+def test_faithfulness_quadrants():
+    pred_a = np.asarray([1, 1, 2, 2])
+    gt_a = np.asarray([1, 2, 2, 1])
+    pred_p = np.asarray([[1, 2], [1, 2], [3, 4], [9, 9]])
+    gt_p = np.asarray([[1, 2], [1, 2], [9, 9], [9, 9]])
+    t = tally_faithfulness(pred_a, gt_a, pred_p, gt_p)
+    assert t.both_correct == 1  # sample 0
+    assert t.program_only == 2  # samples 1, 3 (program ok, answer wrong)
+    assert t.answer_only == 1  # sample 2 (answer ok, program wrong)
+    assert t.neither == 0
+    assert t.program_only + t.both_correct + t.answer_only + t.neither == 4
+    f = t.as_fractions()
+    assert abs(sum(f.values()) - 1.0) < 1e-9
+
+
+def test_question_type():
+    assert question_type("count") == "count"
+    assert question_type("exist") == "exist"
+    assert question_type("greater_than") == "compare_number"
+    assert question_type("equal_color") == "compare_attribute"
+    assert question_type("query_shape[foo]") == "query_attribute"
+
+
+def test_answer_accuracy_by_type():
+    pred = ["yes", "no", "3", "red"]
+    gt = ["yes", "yes", "3", "blue"]
+    fns = ["exist", "exist", "count", "query_color"]
+    acc = answer_accuracy_by_type(pred, gt, fns)
+    assert acc["overall"] == 0.5
+    assert acc["exist"] == 0.5
+    assert acc["count"] == 1.0
+    assert acc["query_attribute"] == 0.0
+
+
+def test_program_accuracy():
+    pred = np.asarray([[1, 2, 0], [1, 3, 0]])
+    gt = np.asarray([[1, 2, 0], [1, 2, 0]])
+    acc = program_accuracy(pred, gt)
+    assert acc["exact_match"] == 0.5
+    assert abs(acc["token_acc"] - 5 / 6) < 1e-9
+    assert abs(acc["token_acc_nonpad"] - 3 / 4) < 1e-9
+
+
+def test_greedy_box_match():
+    gt = np.asarray([[0.0, 0.0, 0.5, 0.5], [0.5, 0.5, 1.0, 1.0]])
+    pred_perfect = gt.copy()
+    assert greedy_box_match(pred_perfect, gt) == 2
+    pred_half = np.asarray([[0.0, 0.0, 0.5, 0.5], [0.0, 0.0, 0.1, 0.1]])
+    assert greedy_box_match(pred_half, gt) == 1
+    # a single pred cannot claim two GTs
+    assert greedy_box_match(gt[:1], gt) == 1
+    assert greedy_box_match(np.zeros((0, 4)), gt) == 0
+
+
+def test_detection_tally():
+    tally = DetectionTally()
+    gt = np.asarray([[0.0, 0.0, 0.5, 0.5]])
+    tally.add_box_step("filter_size[large]", gt, gt)
+    tally.add_box_step("filter_size[small]", np.zeros((1, 4)), gt)
+    pr = tally.precision_recall()
+    assert pr["filter_size"]["precision"] == 0.5
+    assert pr["filter_size"]["recall"] == 0.5
+    tally.add_token_step("count", 3, 3)
+    tally.add_token_step("count", 2, 3)
+    assert tally.token_accuracy()["count"] == 0.5
+    assert "filter_size" in tally.report()
+
+
+def test_cogent_helpers():
+    image_indices = np.repeat(np.arange(100), 12)  # 100 images x 12 questions
+    subset = finetune_subset(image_indices, num_images=10, num_questions=50)
+    assert len(subset) == 50
+    assert np.isin(image_indices[subset], np.arange(10)).all()
+    report = CoGenTReport(a_zero_shot=0.713, b_zero_shot=0.603)
+    assert "71.3" in report.report() and "60.3" in report.report()
