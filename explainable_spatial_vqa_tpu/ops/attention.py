@@ -16,9 +16,24 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-__all__ = ["dot_product_attention", "make_causal_mask", "combine_masks"]
+__all__ = [
+    "dot_product_attention",
+    "make_causal_mask",
+    "combine_masks",
+    "use_pallas_attention",
+]
 
 NEG_INF = -1e30  # large-but-finite; avoids NaNs from all-masked rows
+
+# Global kernel dispatch: when enabled, self-attention calls with key-padding
+# masks route to the Pallas fused kernel (ops.pallas_attention); everything
+# else stays on the XLA path.  Enabled for TPU inference/training runs.
+_USE_PALLAS = False
+
+
+def use_pallas_attention(enable: bool = True) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = enable
 
 
 def dot_product_attention(
@@ -33,6 +48,16 @@ def dot_product_attention(
     (B, H, Tq, Tk), True = attend.  Returns (B, Tq, H, D).
     Softmax runs in float32 regardless of input dtype (bfloat16-safe).
     """
+    if _USE_PALLAS:
+        from explainable_spatial_vqa_tpu.ops import pallas_attention
+
+        same_len = q.shape[1] == k.shape[1]
+        key_pad_only = mask is None or (
+            mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1
+        )
+        if same_len and key_pad_only and pallas_attention.pallas_available():
+            return pallas_attention.fused_attention(q, k, v, mask)
+
     dtype = q.dtype
     depth = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32))
