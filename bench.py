@@ -38,8 +38,9 @@ def build_pipeline():
     gen_cfg = GeneratorConfig(vocab_size=96, program_vocab_size=45, program_len=27)
     exe_cfg = ExecutorConfig(vocab_size=64, token_classes=32)
 
-    generator = ProgramGenerator(gen_cfg)
-    executor = ProgramExecutor(exe_cfg)
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+    generator = ProgramGenerator(gen_cfg, dtype=dtype)
+    executor = ProgramExecutor(exe_cfg, dtype=dtype)
 
     rng = np.random.RandomState(0)
     q_init = jnp.asarray(rng.randint(4, 96, (2, 46)), jnp.int32)

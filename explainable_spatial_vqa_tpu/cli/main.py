@@ -1,0 +1,264 @@
+"""CLI: one entry point per pipeline stage.
+
+Commands (each replaces a reference script; see SURVEY.md §2):
+  build-vocab          <- preprocess_questions/build_vocab.py
+  preprocess-questions <- preprocess_questions/preprocess_questions.py
+  extract-features     <- preprocess_images/extract_features.py
+  export-scenes        <- preprocess_scenes/get_bounding_boxes.py
+  annotate             <- preprocess_scenes/preprocess_continousv3.py /
+                          preprocess_full_annotation.py
+  train                <- the train_*.py family (preset-driven)
+  infer-chain          <- inference_transformer_full_annotation_new.py
+  inspect              <- inspecting_scripts/* (first-N artifact dumps)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+from explainable_spatial_vqa_tpu.utils.logging import setup_logging
+
+logger = logging.getLogger("esv.cli")
+
+
+def cmd_build_vocab(args: argparse.Namespace) -> None:
+    from explainable_spatial_vqa_tpu.core.artifacts import load_questions_json
+    from explainable_spatial_vqa_tpu.core.vocab import build_clevr_vocab, save_vocab
+
+    collections = [load_questions_json(p) for p in args.inputs]
+    vocab = build_clevr_vocab(collections)
+    save_vocab(vocab, args.output)
+    logger.info("wrote %s (%d program / %d question / %d answer tokens)",
+                args.output, len(vocab["program_token_to_idx"]),
+                len(vocab["question_token_to_idx"]), len(vocab["answer_token_to_idx"]))
+
+
+def cmd_preprocess_questions(args: argparse.Namespace) -> None:
+    from explainable_spatial_vqa_tpu.core.artifacts import (
+        encode_questions,
+        load_questions_json,
+        write_questions_h5,
+    )
+    from explainable_spatial_vqa_tpu.core.vocab import load_vocab
+
+    questions = load_questions_json(args.input_questions_json)
+    vocab = load_vocab(args.input_vocab_json)
+    encoded = encode_questions(questions, vocab, mode=args.mode,
+                               allow_unk=bool(args.encode_unk))
+    write_questions_h5(encoded, args.output_h5_file)
+    logger.info("wrote %s questions=%s programs=%s", args.output_h5_file,
+                encoded.questions.shape,
+                None if encoded.programs is None else encoded.programs.shape)
+
+
+def cmd_extract_features(args: argparse.Namespace) -> None:
+    from explainable_spatial_vqa_tpu.vision.extract import (
+        collect_image_paths,
+        extract_features,
+    )
+    from explainable_spatial_vqa_tpu.vision.resnet import (
+        ResNetFeatures,
+        params_from_torch_state_dict,
+    )
+
+    paths = collect_image_paths(args.input_image_dir, args.max_images)
+    model = ResNetFeatures(num_stages=args.model_stage)
+    variables = None
+    if args.torch_weights:
+        import torch
+
+        state_dict = torch.load(args.torch_weights, map_location="cpu",
+                                weights_only=True)
+        variables = params_from_torch_state_dict(state_dict, args.model_stage)
+        logger.info("loaded torchvision weights from %s", args.torch_weights)
+    else:
+        logger.warning("no --torch-weights given: using random ResNet weights "
+                       "(features will not match the reference numerically)")
+    extract_features(paths, args.output_h5_file, model=model, variables=variables,
+                     batch_size=args.batch_size,
+                     size=(args.image_height, args.image_width))
+    logger.info("wrote %s (%d images)", args.output_h5_file, len(paths))
+
+
+def cmd_export_scenes(args: argparse.Namespace) -> None:
+    from explainable_spatial_vqa_tpu.clevr.bboxes import export_scenes
+    from explainable_spatial_vqa_tpu.core.artifacts import load_scenes_json, write_scenes_h5
+
+    scenes = load_scenes_json(args.input_scenes_json)
+    out = export_scenes(scenes, decimals=args.decimals)
+    write_scenes_h5(args.output_h5_file, out["bounding_boxes"], out["class_labels"],
+                    out["image_index"], out["image_filename"])
+    logger.info("wrote %s (%d scenes, max %d objects)", args.output_h5_file,
+                out["bounding_boxes"].shape[0], out["bounding_boxes"].shape[1])
+
+
+def cmd_annotate(args: argparse.Namespace) -> None:
+    import copy
+
+    from explainable_spatial_vqa_tpu.clevr import annotate as ann
+    from explainable_spatial_vqa_tpu.clevr.scenes import load_scenes
+    from explainable_spatial_vqa_tpu.core import vocab as voc
+    from explainable_spatial_vqa_tpu.core.artifacts import (
+        load_questions_json,
+        write_annotated_h5,
+    )
+
+    scenes = load_scenes(args.scenes)
+    questions = load_questions_json(args.questions)
+    if args.limit:
+        questions = questions[: args.limit]
+    logger.info("annotating %d questions over %d scenes (%s mode, %d workers)",
+                len(questions), len(scenes), args.mode, args.workers)
+    if args.mode == "v3":
+        annotated = ann.annotate_questions(questions, scenes, num_workers=args.workers)
+        vocabs = voc.build_split_vocab(annotated)
+        converted = [voc.apply_split_vocab(copy.deepcopy(q), vocabs) for q in annotated]
+        layout = "per_question"
+    else:
+        _init = ann._init_worker  # reuse sweep plumbing with the full variant
+        annotated = [
+            ann.annotate_question_full(q, scenes[q["image_index"]])
+            for q in questions
+            if q["image_index"] in scenes
+        ]
+        vocabs = voc.build_joint_vocab(annotated)
+        converted = [voc.apply_joint_vocab(copy.deepcopy(q), vocabs) for q in annotated]
+        layout = "blob"
+    if args.raw_json:
+        with open(args.raw_json, "w") as f:
+            json.dump({"questions": annotated}, f)
+    with open(args.vocab_output, "w") as f:
+        json.dump(vocabs, f, indent=4)
+    write_annotated_h5(converted, args.output_h5, layout=layout)
+    logger.info("wrote %s (+ vocab %s)", args.output_h5, args.vocab_output)
+
+
+def cmd_train(args: argparse.Namespace) -> None:
+    import dataclasses
+
+    from explainable_spatial_vqa_tpu.core.config import get_preset
+    from explainable_spatial_vqa_tpu.train.pipelines import build_pipeline
+    from explainable_spatial_vqa_tpu.train.trainer import Trainer
+
+    config = get_preset(args.preset)
+    data_overrides = {}
+    for field in ("features_h5", "questions_h5", "annotated_h5", "vocab_json",
+                  "split_vocab_json"):
+        value = getattr(args, field, None)
+        if value:
+            data_overrides[field] = value
+    if args.subset_fraction is not None:
+        data_overrides["subset_fraction"] = args.subset_fraction
+    if data_overrides:
+        config = config.replace(data=dataclasses.replace(config.data, **data_overrides))
+    if args.epochs is not None:
+        config = config.replace(train=dataclasses.replace(config.train, num_epochs=args.epochs))
+
+    pipeline = build_pipeline(config)
+    trainer = Trainer(
+        pipeline.loss_fn, pipeline.params, config.optim, config.train,
+        steps_per_epoch=pipeline.steps_per_epoch,
+        checkpoint_dir=args.checkpoint_dir or config.train.checkpoint_dir,
+    )
+    history = trainer.fit(pipeline.train_batches, pipeline.val_batches,
+                          monitor=pipeline.monitor)
+    logger.info("training done; best %s = %.4f", pipeline.monitor, trainer.best_metric)
+    if args.history_json:
+        with open(args.history_json, "w") as f:
+            json.dump(history, f, default=float)
+
+
+def cmd_inspect(args: argparse.Namespace) -> None:
+    import h5py
+    import numpy as np
+
+    with h5py.File(args.file, "r") as f:
+        print(f"datasets in {args.file}:")
+        def show(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                print(f"  {name}: shape={obj.shape} dtype={obj.dtype}")
+                if args.n and obj.shape and obj.shape[0]:
+                    head = obj[: min(args.n, obj.shape[0])]
+                    print(f"    first {args.n}: {np.asarray(head)!r}"[:500])
+        f.visititems(show)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="explainable_spatial_vqa_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("build-vocab")
+    p.add_argument("--inputs", nargs="+", required=True,
+                   help="question JSONs, reference order: val test train")
+    p.add_argument("--output", default="vocab.json")
+    p.set_defaults(fn=cmd_build_vocab)
+
+    p = sub.add_parser("preprocess-questions")
+    p.add_argument("--input_questions_json", required=True)
+    p.add_argument("--input_vocab_json", required=True)
+    p.add_argument("--output_h5_file", required=True)
+    p.add_argument("--mode", default="postfix", choices=["chain", "prefix", "postfix"])
+    p.add_argument("--encode_unk", default=0, type=int)
+    p.set_defaults(fn=cmd_preprocess_questions)
+
+    p = sub.add_parser("extract-features")
+    p.add_argument("--input_image_dir", required=True)
+    p.add_argument("--output_h5_file", required=True)
+    p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--image_height", type=int, default=224)
+    p.add_argument("--image_width", type=int, default=224)
+    p.add_argument("--model_stage", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--torch-weights", default=None,
+                   help="path to torchvision resnet101 .pth for numeric parity")
+    p.set_defaults(fn=cmd_extract_features)
+
+    p = sub.add_parser("export-scenes")
+    p.add_argument("--input_scenes_json", required=True)
+    p.add_argument("--output_h5_file", required=True)
+    p.add_argument("--decimals", type=int, default=None)
+    p.set_defaults(fn=cmd_export_scenes)
+
+    p = sub.add_parser("annotate")
+    p.add_argument("--scenes", required=True)
+    p.add_argument("--questions", required=True)
+    p.add_argument("--output_h5", required=True)
+    p.add_argument("--vocab_output", required=True)
+    p.add_argument("--raw_json", default=None)
+    p.add_argument("--mode", default="v3", choices=["v3", "full"])
+    p.add_argument("--workers", type=int, default=0)
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_annotate)
+
+    p = sub.add_parser("train")
+    p.add_argument("--preset", required=True)
+    p.add_argument("--features_h5")
+    p.add_argument("--questions_h5")
+    p.add_argument("--annotated_h5")
+    p.add_argument("--vocab_json")
+    p.add_argument("--split_vocab_json")
+    p.add_argument("--subset_fraction", type=float, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--history_json", default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("inspect")
+    p.add_argument("file")
+    p.add_argument("-n", type=int, default=2)
+    p.set_defaults(fn=cmd_inspect)
+
+    return parser
+
+
+def main(argv=None) -> None:
+    setup_logging()
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,11 @@ class ExecutorChainRunner:
         n = image_tokens.shape[0]
         s = self.max_steps
         q = cfg.num_queries
+        # Project + position the image ONCE per question (thesis image cache);
+        # every chain step below reuses these tokens.
+        image_tokens = self.model.apply(
+            self.variables, image_tokens, method=self.model.precompute_image
+        )
         state = ChainState(
             box_cache=jnp.zeros((n, s, q, 4), jnp.float32),
             box_mask=jnp.zeros((n, s, q), bool),
@@ -110,7 +115,8 @@ class ExecutorChainRunner:
             text_mask = jnp.stack([jnp.ones_like(v0), v0, v1], axis=1)
 
             out = self.model.apply(
-                self.variables, image_tokens, input_boxes, input_mask, text, text_mask
+                self.variables, image_tokens, input_boxes, input_mask, text, text_mask,
+                image_precomputed=True,
             )
             is_box = jnp.argmax(out["routing_logits"], axis=-1) == 0  # (N,)
             pred_token = jnp.argmax(out["token_logits"], axis=-1).astype(jnp.int32)

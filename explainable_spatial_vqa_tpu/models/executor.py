@@ -110,6 +110,16 @@ class ProgramExecutor(nn.Module):
         assert grid * grid == cfg.num_image_tokens, "image tokens must form a square grid"
         self._image_pos = posemb_2d_sincos(grid, grid, cfg.d_model)
 
+    def precompute_image(self, image_tokens: jnp.ndarray) -> jnp.ndarray:
+        """Project raw (B, P, 1024) features to positioned d_model tokens.
+
+        Chained inference calls this ONCE per question and reuses the result
+        for every program step (the thesis §3.4.2 p.16 image-feature cache;
+        the checked-in reference re-encodes the image every step,
+        inference_transformer_full_annotation_new.py:128-135)."""
+        img = self.image_proj(image_tokens.astype(self.dtype))
+        return img + jnp.asarray(self._image_pos, self.dtype)[None]
+
     def encode(
         self,
         image_tokens: jnp.ndarray,
@@ -118,19 +128,24 @@ class ProgramExecutor(nn.Module):
         text_tokens: jnp.ndarray,
         text_mask: jnp.ndarray,
         deterministic: bool = True,
+        image_precomputed: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Fuse modalities.
 
-        image_tokens: (B, P, 1024); input_boxes: (B, S, 4); box_mask: (B, S)
-        bool; text_tokens: (B, 3) int; text_mask: (B, 3) bool.
-        Returns {"memory": (B, 1+P+S+3, d), "key_mask": (B,1,1,L),
-        "cls": (B, d), "func_slot": (B, d)}.
+        image_tokens: (B, P, 1024) raw features, or (B, P, d_model) when
+        ``image_precomputed`` (from :meth:`precompute_image`); input_boxes:
+        (B, S, 4); box_mask: (B, S) bool; text_tokens: (B, 3) int; text_mask:
+        (B, 3) bool.  Returns {"memory": (B, 1+P+S+3, d), "key_mask":
+        (B,1,1,L), "cls": (B, d), "func_slot": (B, d)}.
         """
         cfg = self.config
         batch = image_tokens.shape[0]
 
-        img = self.image_proj(image_tokens.astype(self.dtype))
-        img = img + jnp.asarray(self._image_pos, self.dtype)[None]
+        if image_precomputed:
+            img = image_tokens.astype(self.dtype)
+        else:
+            img = self.image_proj(image_tokens.astype(self.dtype))
+            img = img + jnp.asarray(self._image_pos, self.dtype)[None]
 
         centers = jnp.stack(
             [
@@ -175,9 +190,11 @@ class ProgramExecutor(nn.Module):
         text_tokens: jnp.ndarray,
         text_mask: jnp.ndarray,
         deterministic: bool = True,
+        image_precomputed: bool = False,
     ) -> ExecutorOutput:
         fused = self.encode(
-            image_tokens, input_boxes, box_mask, text_tokens, text_mask, deterministic
+            image_tokens, input_boxes, box_mask, text_tokens, text_mask,
+            deterministic, image_precomputed,
         )
         routing_logits = self.routing_head(fused["func_slot"].astype(jnp.float32))
         token_logits = self.token_head(fused["cls"].astype(jnp.float32))

@@ -1,0 +1,158 @@
+"""Minimum end-to-end slice (SURVEY.md §7): fixtures -> vocab -> questions h5
+-> annotation -> executor training -> chained inference -> faithfulness tally,
+all through the CLI/pipeline layer on a tiny synthetic dataset."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from explainable_spatial_vqa_tpu.cli.main import main as cli_main
+
+DATA = pathlib.Path(__file__).parent / "data"
+REF = pathlib.Path("/root/reference/code")
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    """Assemble a miniature CLEVR layout from fixtures + synthetic programs."""
+    root = tmp_path_factory.mktemp("e2e")
+    golden = json.load(open(DATA / "golden_synthetic.json"))
+    scene = json.load(open(REF / "inspecting_scripts" / "CLEVR_val_scenes_first.json"))[
+        "scenes"
+    ][0]
+    real_q = json.load(
+        open(REF / "inspecting_scripts" / "CLEVR_val_questions_first.json")
+    )["questions"][0]
+    questions = golden["questions"] + [real_q]
+
+    scenes_path = root / "scenes.json"
+    questions_path = root / "questions.json"
+    json.dump({"scenes": [scene]}, open(scenes_path, "w"))
+    json.dump({"questions": questions}, open(questions_path, "w"))
+
+    # run the CLI prep stages once so every test is independent
+    cli_main([
+        "build-vocab", "--inputs", str(questions_path),
+        "--output", str(root / "vocab.json"),
+    ])
+    cli_main([
+        "preprocess-questions",
+        "--input_questions_json", str(questions_path),
+        "--input_vocab_json", str(root / "vocab.json"),
+        "--output_h5_file", str(root / "questions.h5"),
+    ])
+    cli_main([
+        "annotate", "--mode", "full",
+        "--scenes", str(scenes_path),
+        "--questions", str(questions_path),
+        "--output_h5", str(root / "annotated.h5"),
+        "--vocab_output", str(root / "joint_vocab.json"),
+    ])
+
+    # synthetic features artifact (1 image, reference layout 1024x14x14 is
+    # shrunk to 64x4x4 via a matching model config in the training test)
+    import h5py
+
+    with h5py.File(root / "features.h5", "w") as f:
+        f.create_dataset(
+            "features", data=np.random.RandomState(0).rand(1, 64, 4, 4).astype(np.float32)
+        )
+    return root
+
+
+def test_cli_vocab_and_questions(workdir):
+    cli_main([
+        "build-vocab", "--inputs", str(workdir / "questions.json"),
+        "--output", str(workdir / "vocab.json"),
+    ])
+    vocab = json.load(open(workdir / "vocab.json"))
+    assert vocab["program_token_to_idx"]["<NULL>"] == 0
+
+    cli_main([
+        "preprocess-questions",
+        "--input_questions_json", str(workdir / "questions.json"),
+        "--input_vocab_json", str(workdir / "vocab.json"),
+        "--output_h5_file", str(workdir / "questions.h5"),
+    ])
+    from explainable_spatial_vqa_tpu.core.artifacts import read_questions_h5
+
+    enc = read_questions_h5(str(workdir / "questions.h5"))
+    assert enc.questions.shape[0] == 9
+    assert enc.programs is not None
+
+
+def test_cli_annotate_full(workdir):
+    cli_main([
+        "annotate", "--mode", "full",
+        "--scenes", str(workdir / "scenes.json"),
+        "--questions", str(workdir / "questions.json"),
+        "--output_h5", str(workdir / "annotated.h5"),
+        "--vocab_output", str(workdir / "joint_vocab.json"),
+    ])
+    from explainable_spatial_vqa_tpu.core.artifacts import read_annotated_h5
+
+    annotated = read_annotated_h5(str(workdir / "annotated.h5"))
+    assert len(annotated) == 9
+    assert all("annotated_program" in q for q in annotated)
+
+
+def test_cli_annotate_v3(workdir):
+    cli_main([
+        "annotate", "--mode", "v3",
+        "--scenes", str(workdir / "scenes.json"),
+        "--questions", str(workdir / "questions.json"),
+        "--output_h5", str(workdir / "annotated_v3.h5"),
+        "--vocab_output", str(workdir / "split_vocab.json"),
+        "--raw_json", str(workdir / "annotated_raw.json"),
+    ])
+    vocabs = json.load(open(workdir / "split_vocab.json"))
+    assert set(vocabs) == {"function", "other"}
+
+
+def test_cli_train_step_seq2seq(workdir):
+    """Train the step executor for 2 epochs on the mini slice end-to-end."""
+    import dataclasses
+
+    from explainable_spatial_vqa_tpu.core.config import (
+        StepSeq2SeqConfig,
+        get_preset,
+    )
+    from explainable_spatial_vqa_tpu.train.pipelines import build_pipeline
+    from explainable_spatial_vqa_tpu.train.trainer import Trainer
+
+    config = get_preset("step_seq2seq")
+    config = config.replace(
+        model=StepSeq2SeqConfig(
+            vocab_size=64, d_model=16, num_heads=2, encoder_layers=1,
+            decoder_layers=1, ffn_dim=32, max_src_len=32, max_tgt_len=10,
+            num_image_tokens=16, image_feature_dim=64,
+        ),
+        data=dataclasses.replace(
+            config.data,
+            annotated_h5=str(workdir / "annotated.h5"),
+            features_h5=str(workdir / "features.h5"),
+            validation_split=0.3, test_split=0.2,
+        ),
+        train=dataclasses.replace(
+            config.train, batch_size=8, num_epochs=2, log_every=0,
+            checkpoint_interval=100,
+        ),
+    )
+    pipeline = build_pipeline(config)
+    trainer = Trainer(
+        pipeline.loss_fn, pipeline.params, config.optim, config.train,
+        checkpoint_dir=str(workdir / "ckpt"),
+    )
+    history = trainer.fit(pipeline.train_batches, pipeline.val_batches,
+                          monitor=pipeline.monitor, num_epochs=2)
+    assert len(history["train"]) == 2
+    assert np.isfinite(history["train"][-1]["loss_sum"])
+    trainer.store.close()
+
+
+def test_cli_inspect(workdir, capsys):
+    cli_main(["inspect", str(workdir / "features.h5"), "-n", "1"])
+    out = capsys.readouterr().out
+    assert "features" in out
