@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 
-def build_pipeline():
+def build_pipeline(force_fp32: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +38,8 @@ def build_pipeline():
     gen_cfg = GeneratorConfig(vocab_size=96, program_vocab_size=45, program_len=27)
     exe_cfg = ExecutorConfig(vocab_size=64, token_classes=32)
 
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+    use_bf16 = os.environ.get("BENCH_DTYPE", "bf16") == "bf16" and not force_fp32
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     generator = ProgramGenerator(gen_cfg, dtype=dtype)
     executor = ProgramExecutor(exe_cfg, dtype=dtype)
 
@@ -127,7 +128,8 @@ def run_reference_style(n_questions, device):
     import jax
     import jax.numpy as jnp
 
-    generator, gen_vars, gen_cfg, executor, exe_vars, exe_cfg = build_pipeline()
+    # the reference deployment is fp32 torch on CPU — keep the baseline fp32
+    generator, gen_vars, gen_cfg, executor, exe_vars, exe_cfg = build_pipeline(force_fp32=True)
     features, questions, chains = synth_questions(n_questions, exe_cfg, seed=1)
 
     gen_one = jax.jit(
@@ -191,7 +193,7 @@ def main():
 
     n = int(os.environ.get("BENCH_N", "512"))
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    baseline_n = int(os.environ.get("BENCH_BASELINE_N", "8"))
+    baseline_n = int(os.environ.get("BENCH_BASELINE_N", "16"))
 
     default = jax.devices()[0]
     value = run_vectorized(n, batch, default)
