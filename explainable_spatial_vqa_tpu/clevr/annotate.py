@@ -224,6 +224,70 @@ def annotate_question_full(
     return annotated
 
 
+_STRING_COMPARE_FUNCTIONS = frozenset({
+    "count", "exist", "greater_than", "less_than", "equal_color", "equal_shape",
+    "equal_size", "equal_material", "equal_integer", "equal_object",
+})
+
+
+def annotate_question_string(
+    question: Dict[str, Any],
+    scene: Scene,
+    boxes: Optional[Any] = None,
+) -> Dict[str, Any]:
+    """Single-string annotation variant
+    (/root/reference/code/preprocess_scenes/preprocess_into_single_string.py:290-383):
+    one flat ``annotated_program_string`` per question, steps joined by ' | ',
+    each ``fn[args]:(x,y,x,y) ; ...`` with 3-decimal boxes or ``:none``.
+
+    Query/compare steps are attributed to the union of their input steps'
+    relevant objects; errored/poisoned steps render as ``fn[]:none``.
+    """
+    program = question["program"]
+    if boxes is None:
+        boxes = scene_bounding_boxes(scene.raw, decimals=None)
+    node_outputs, relevant = _execute_with_poisoning(scene, program)
+    num_objects = len(scene.objects)
+
+    # extend per-step relevant sets for query/compare attribution
+    attributed: List[List[int]] = []
+    for i, step in enumerate(program):
+        function = step.get("function", "")
+        if function in _STRING_COMPARE_FUNCTIONS or function.startswith("query_"):
+            union: List[int] = []
+            for dep in step.get("inputs", []):
+                if 0 <= dep < len(attributed):
+                    union.extend(attributed[dep])
+            attributed.append(sorted(set(union)))
+        else:
+            attributed.append(list(relevant[i]))
+
+    steps_str: List[str] = []
+    for i, step in enumerate(program):
+        function = step.get("function", "")
+        values = step.get("value_inputs") or []
+        # reference renders errored steps with bare "fn[]" even when the
+        # function has side inputs (the except path drops them)
+        poisoned_step = node_outputs[i] is None
+        if poisoned_step:
+            steps_str.append(f"{function}[]:none")
+            continue
+        label = f"{function}[{','.join(map(str, values))}]"
+        objs = [o for o in attributed[i] if 0 <= o < num_objects]
+        if not objs:
+            steps_str.append(f"{label}:none")
+            continue
+        rendered = " ; ".join(
+            "(%s,%s,%s,%s)" % tuple(repr(round(float(c), 3)) for c in boxes[o])
+            for o in objs
+        )
+        steps_str.append(f"{label}:{rendered}")
+
+    annotated = dict(question)
+    annotated["annotated_program_string"] = " | ".join(steps_str)
+    return annotated
+
+
 # ---------------------------------------------------------------------------
 # Corpus sweep (parallel)
 # ---------------------------------------------------------------------------
