@@ -1,0 +1,150 @@
+"""Full inference pipeline: question -> program -> chained execution -> answer.
+
+The deployment path of the framework (BASELINE.json "full pipeline" config):
+
+1. the Program Generator greedily decodes fused program tokens (postfix) for
+   a batch of questions, fully on device;
+2. decoded programs are parsed back to node lists (core.programs arity
+   parser) and compiled to ChainArrays — functions mapped into the executor's
+   function vocab, dependency indices recovered from the postfix structure;
+3. the ExecutorChainRunner executes all questions' step k simultaneously,
+   threading box/token outputs through HBM caches;
+4. the final non-spatial step's token is the answer; the faithfulness tally
+   compares (program, answer) correctness jointly.
+
+Replaces run_model_* + inference_* script pairs
+(/root/reference/code/run_model_transformer_iqap.py:306-544,
+inference_transformer_iqap_tally.py:279-357).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from explainable_spatial_vqa_tpu.core import programs as prog
+from explainable_spatial_vqa_tpu.core.tokenizer import END, NULL, START
+from explainable_spatial_vqa_tpu.evalsuite.faithfulness import FaithfulnessTally, tally_faithfulness
+from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+
+__all__ = ["decode_program_ids", "programs_to_chains", "InferencePipeline"]
+
+
+def decode_program_ids(
+    program_ids: np.ndarray,
+    idx_to_token: Mapping[int, str],
+    mode: str = "postfix",
+) -> List[Optional[List[Dict[str, Any]]]]:
+    """Decoded generator ids -> program node lists (None where unparseable).
+
+    Strips <START>/<END>/<NULL> and inverts the ``mode`` linearization via
+    the arity parser; malformed programs (bad arity structure) yield None and
+    count as incorrect in the tally.
+    """
+    out: List[Optional[List[Dict[str, Any]]]] = []
+    for row in np.asarray(program_ids):
+        tokens: List[str] = []
+        for idx in row:
+            token = idx_to_token.get(int(idx), NULL)
+            if token == END:
+                break
+            if token in (NULL, START):
+                continue
+            tokens.append(token)
+        try:
+            entries = [prog.parse_function_token(t) for t in tokens]
+            if mode == "postfix":
+                out.append(prog.postfix_to_list(entries))
+            elif mode == "prefix":
+                out.append(prog.prefix_to_list(entries))
+            else:
+                raise ValueError(mode)
+        except Exception:
+            out.append(None)
+    return out
+
+
+def programs_to_chains(
+    programs: Sequence[Optional[Sequence[Dict[str, Any]]]],
+    image_index: np.ndarray,
+    function_vocab: Mapping[str, int],
+    max_steps: int = 28,
+) -> ChainArrays:
+    """Node lists -> ChainArrays for the vectorized runner.  Unparseable
+    programs become 1-step no-ops (their answers read as token 0)."""
+    n = len(programs)
+    functions = np.zeros((n, max_steps), np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    num_steps = np.ones(n, np.int32)
+    for i, program in enumerate(programs):
+        if not program:
+            continue
+        program = list(program)[:max_steps]
+        num_steps[i] = len(program)
+        for s, node in enumerate(program):
+            functions[i, s] = function_vocab.get(prog.function_token(node), 0)
+            for d, dep in enumerate(node.get("inputs", [])[:2]):
+                deps[i, s, d] = dep
+    return ChainArrays(np.asarray(image_index, np.int32), functions, deps, num_steps, [])
+
+
+@dataclass
+class PipelineResult:
+    program_ids: np.ndarray  # (N, L) generated program tokens
+    answers: np.ndarray  # (N,) predicted answer token ids (value vocab)
+    answer_valid: np.ndarray  # (N,) final step produced a token
+    tally: Optional[FaithfulnessTally] = None
+
+
+class InferencePipeline:
+    """Generator + executor end-to-end runner."""
+
+    def __init__(
+        self,
+        generator,
+        generator_vars,
+        runner: ExecutorChainRunner,
+        program_idx_to_token: Mapping[int, str],
+        executor_function_vocab: Mapping[str, int],
+        mode: str = "postfix",
+    ):
+        self.generator = generator
+        self.generator_vars = generator_vars
+        self.runner = runner
+        self.program_idx_to_token = dict(program_idx_to_token)
+        self.executor_function_vocab = dict(executor_function_vocab)
+        self.mode = mode
+        self._generate = jax.jit(
+            lambda q: generator.apply(generator_vars, q, method=generator.generate)
+        )
+
+    def run(
+        self,
+        questions: np.ndarray,
+        image_tokens: np.ndarray,
+        image_index: np.ndarray,
+        gt_answers: Optional[np.ndarray] = None,
+        gt_programs: Optional[np.ndarray] = None,
+    ) -> PipelineResult:
+        program_ids = np.asarray(self._generate(jnp.asarray(questions)))
+        programs = decode_program_ids(program_ids, self.program_idx_to_token, self.mode)
+        chains = programs_to_chains(
+            programs, image_index, self.executor_function_vocab, self.runner.max_steps
+        )
+        out = self.runner.run(np.asarray(image_tokens)[chains.image_index], chains)
+        result = PipelineResult(
+            program_ids=program_ids,
+            answers=out["final_tokens"],
+            answer_valid=out["final_is_token"],
+        )
+        if gt_answers is not None and gt_programs is not None:
+            answers = np.where(result.answer_valid, result.answers, -1)
+            result.tally = tally_faithfulness(
+                answers, np.asarray(gt_answers), program_ids, np.asarray(gt_programs)
+            )
+        return result
