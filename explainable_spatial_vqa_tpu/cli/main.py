@@ -88,6 +88,20 @@ def cmd_export_scenes(args: argparse.Namespace) -> None:
     from explainable_spatial_vqa_tpu.core.artifacts import load_scenes_json, write_scenes_h5
 
     scenes = load_scenes_json(args.input_scenes_json)
+    if args.layout == "attributes":
+        import h5py
+
+        from explainable_spatial_vqa_tpu.core.reshape import export_scene_attributes
+
+        arrays, vocab = export_scene_attributes(scenes)
+        with h5py.File(args.output_h5_file, "w") as f:
+            for key, value in arrays.items():
+                f.create_dataset(key, data=value)
+        if args.vocab_output:
+            with open(args.vocab_output, "w") as f:
+                json.dump(vocab, f, indent=2)
+        logger.info("wrote %s (attributes layout)", args.output_h5_file)
+        return
     out = export_scenes(scenes, decimals=args.decimals)
     write_scenes_h5(args.output_h5_file, out["bounding_boxes"], out["class_labels"],
                     out["image_index"], out["image_filename"])
@@ -112,6 +126,24 @@ def cmd_annotate(args: argparse.Namespace) -> None:
         questions = questions[: args.limit]
     logger.info("annotating %d questions over %d scenes (%s mode, %d workers)",
                 len(questions), len(scenes), args.mode, args.workers)
+    if args.mode == "string":
+        from explainable_spatial_vqa_tpu.core import annotated_strings as astr
+
+        annotated = [
+            ann.annotate_question_string(q, scenes[q["image_index"]])
+            for q in questions
+            if q["image_index"] in scenes
+        ]
+        arrays, token_to_id = astr.build_mapped_sequences(annotated)
+        astr.write_mapped_sequences(arrays, args.output_h5)
+        with open(args.vocab_output, "w") as f:
+            json.dump({"token_to_id": token_to_id,
+                       "id_to_token": {str(v): k for k, v in token_to_id.items()}}, f, indent=2)
+        if args.raw_json:
+            with open(args.raw_json, "w") as f:
+                json.dump({"questions": annotated}, f)
+        logger.info("wrote %s (+ vocab %s)", args.output_h5, args.vocab_output)
+        return
     if args.mode == "v3":
         annotated = ann.annotate_questions(questions, scenes, num_workers=args.workers)
         vocabs = voc.build_split_vocab(annotated)
@@ -220,6 +252,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input_scenes_json", required=True)
     p.add_argument("--output_h5_file", required=True)
     p.add_argument("--decimals", type=int, default=None)
+    p.add_argument("--layout", default="boxes", choices=["boxes", "attributes"])
+    p.add_argument("--vocab_output", default=None)
     p.set_defaults(fn=cmd_export_scenes)
 
     p = sub.add_parser("annotate")
@@ -228,7 +262,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_h5", required=True)
     p.add_argument("--vocab_output", required=True)
     p.add_argument("--raw_json", default=None)
-    p.add_argument("--mode", default="v3", choices=["v3", "full"])
+    p.add_argument("--mode", default="v3", choices=["v3", "full", "string"])
     p.add_argument("--workers", type=int, default=0)
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_annotate)
