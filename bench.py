@@ -117,10 +117,12 @@ def run_vectorized(n, batch, device):
         return outs
 
     run_all()  # warmup + compile
-    t0 = time.perf_counter()
-    run_all()
-    dt = time.perf_counter() - t0
-    return n / dt
+    best = float("inf")
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "2"))):
+        t0 = time.perf_counter()
+        run_all()
+        best = min(best, time.perf_counter() - t0)
+    return n / best
 
 
 def run_reference_style(n_questions, device):
