@@ -36,6 +36,7 @@ __all__ = [
     "MultiTaskBBoxTokenPredictor",
     "BBoxSelectionPredictor",
     "MultiHeadStepModel",
+    "HierarchicalGenerator",
     "YoloDetector",
     "yolo_grid_loss",
 ]
@@ -269,6 +270,71 @@ class MultiHeadStepModel(nn.Module):
             "material": self.material_head(shared),
             "vocab": self.vocab_head(shared),
         }
+
+
+class HierarchicalGenerator(nn.Module):
+    """Image-only encoder + typed decoder branch (training.py:105-224):
+    a transformer encoder over projected image tokens, a start-query decoder
+    whose output routes {spatial, nonspatial}; the spatial branch
+    autoregressively emits boxes with a stop flag (teacher-forced here as one
+    causal pass), the nonspatial branch emits one scalar value.
+    """
+
+    d_model: int = 256
+    num_heads: int = 4
+    num_layers: int = 2
+    num_image_tokens: int = 196
+    image_feature_dim: int = 1024
+    max_inner_steps: int = 10
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        from explainable_spatial_vqa_tpu.models.layers import (
+            TransformerDecoder,
+            TransformerEncoder,
+        )
+
+        self.image_proj = nn.Dense(self.d_model, dtype=self.dtype)
+        self.encoder = TransformerEncoder(
+            self.num_layers, self.d_model, self.num_heads, self.d_model * 4,
+            dropout=0.0, dtype=self.dtype,
+        )
+        self.decoder = TransformerDecoder(
+            self.num_layers, self.d_model, self.num_heads, self.d_model * 4,
+            dropout=0.0, dtype=self.dtype,
+        )
+        self.start_query = self.param(
+            "start_query", nn.initializers.normal(1.0), (self.d_model,)
+        )
+        self.type_head = nn.Dense(2, dtype=jnp.float32)
+        self.bbox_embedding = nn.Dense(self.d_model, dtype=self.dtype)
+        self.bbox_out = nn.Dense(4, dtype=jnp.float32)
+        self.stop_out = nn.Dense(1, dtype=jnp.float32)
+        self.nonspatial_out = nn.Dense(1, dtype=jnp.float32)
+
+    def __call__(
+        self,
+        image_tokens: jnp.ndarray,  # (B, P, C)
+        gt_boxes: Optional[jnp.ndarray] = None,  # (B, T, 4) teacher boxes
+    ) -> Dict[str, jnp.ndarray]:
+        batch = image_tokens.shape[0]
+        memory = self.encoder(self.image_proj(image_tokens.astype(self.dtype)))
+        start = jnp.broadcast_to(
+            self.start_query, (batch, 1, self.d_model)
+        ).astype(self.dtype)
+
+        global_rep = self.decoder(start, memory)[:, 0]
+        out: Dict[str, jnp.ndarray] = {"type_logits": self.type_head(global_rep)}
+        out["nonspatial_value"] = self.nonspatial_out(global_rep)[:, 0]
+
+        if gt_boxes is None:
+            gt_boxes = jnp.zeros((batch, self.max_inner_steps, 4), jnp.float32)
+        emb = self.bbox_embedding(gt_boxes.astype(self.dtype))
+        dec_in = jnp.concatenate([start, emb], axis=1)  # (B, T+1, d)
+        dec_out = self.decoder(dec_in, memory)[:, :-1]  # predict box t from prefix <t
+        out["pred_boxes"] = self.bbox_out(dec_out)  # (B, T, 4)
+        out["stop_logits"] = self.stop_out(dec_out)[..., 0]  # (B, T)
+        return out
 
 
 class YoloDetector(nn.Module):

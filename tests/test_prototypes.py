@@ -108,3 +108,19 @@ def test_yolo():
     assert np.isfinite(float(loss))
     # zero prediction on empty target -> zero loss
     assert float(proto.yolo_grid_loss(jnp.zeros((1, 7, 7, 5)), jnp.zeros((1, 7, 7, 5)))) == 0.0
+
+
+def test_hierarchical_generator():
+    model = proto.HierarchicalGenerator(
+        d_model=16, num_heads=2, num_layers=1, num_image_tokens=4,
+        image_feature_dim=8, max_inner_steps=3,
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 4, 8), jnp.float32)
+    teacher = jnp.asarray(rng.rand(2, 3, 4), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, teacher)
+    out = model.apply(variables, img, teacher)
+    assert out["type_logits"].shape == (2, 2)
+    assert out["pred_boxes"].shape == (2, 3, 4)
+    assert out["stop_logits"].shape == (2, 3)
+    assert out["nonspatial_value"].shape == (2,)
