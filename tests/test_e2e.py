@@ -156,3 +156,22 @@ def test_cli_inspect(workdir, capsys):
     cli_main(["inspect", str(workdir / "features.h5"), "-n", "1"])
     out = capsys.readouterr().out
     assert "features" in out
+
+
+def test_cli_infer_chain(workdir, tmp_path):
+    """Chained inference through the CLI on the mini slice (random weights)."""
+    vocab = json.load(open(workdir / "joint_vocab.json"))
+    out_json = str(tmp_path / "chain_results.json")
+    cli_main([
+        "infer-chain",
+        "--annotated_h5", str(workdir / "annotated.h5"),
+        "--features_h5", str(workdir / "features.h5"),
+        "--vocab_json", str(workdir / "joint_vocab.json"),
+        "--vocab_size", str(len(vocab) + 16),
+        "--max_steps", "12",
+        "--limit", "4",
+        "--output_json", out_json,
+    ])
+    results = json.load(open(out_json))
+    assert len(results) == 4
+    assert all("predicted_ids" in r for r in results)
