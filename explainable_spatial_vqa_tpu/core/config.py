@@ -33,6 +33,8 @@ class DataConfig:
     features_h5: str = "data/train_features.h5"
     questions_h5: str = "data/train_questions.h5"
     annotated_h5: str = "data/annotated_questions.h5"
+    mapped_sequences_h5: str = "data/mapped_sequences.h5"
+    string_vocab_json: str = "data/string_vocab.json"
     vocab_json: str = "data/vocab.json"
     split_vocab_json: str = "data/vocab3.json"
     max_question_len: int = 46
@@ -253,6 +255,14 @@ def _preset_map() -> Dict[str, ExperimentConfig]:
         model=LstmIQAPConfig(with_program_decoder=False),
         optim=OptimConfig(learning_rate=1e-3),
         train=TrainConfig(batch_size=64, num_epochs=50, patience=5),
+    )
+    presets["transformer_iqap_cot"] = ExperimentConfig(
+        name="transformer_iqap_cot",
+        model_family="iqap_cot",
+        model=IQAPConfig(encoder_layers=1, decoder_layers=1, program_len=100,
+                         max_question_len=20),
+        optim=OptimConfig(learning_rate=1e-3, grad_clip_norm=1.0),
+        train=TrainConfig(batch_size=64, num_epochs=100, patience=10),
     )
     presets["step_seq2seq"] = ExperimentConfig(
         name="step_seq2seq",

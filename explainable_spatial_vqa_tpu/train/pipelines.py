@@ -295,11 +295,76 @@ def _executor_pipeline(config: ExperimentConfig) -> Pipeline:
                     ("routing_correct", "routing_total"), spe)
 
 
+def _iqap_cot_pipeline(config: ExperimentConfig) -> Pipeline:
+    """CoT (bbox-as-tokens) variant over mapped_sequences.h5: the combined
+    program/answer sequence is decoded with CE skipping bbox-coordinate
+    tokens (train_transformer_iqap_cot.py semantics, device-side mask)."""
+    import json as _json
+
+    from explainable_spatial_vqa_tpu.core.annotated_strings import read_mapped_sequences
+    from explainable_spatial_vqa_tpu.models.cot import bbox_token_table, cross_entropy_skip_bbox
+
+    mapped = read_mapped_sequences(config.data.mapped_sequences_h5)
+    with open(config.data.string_vocab_json) as f:
+        vocab_blob = _json.load(f)
+    token_to_id = vocab_blob.get("token_to_id", vocab_blob)
+    idx_to_token = {int(v): k for k, v in token_to_id.items()}
+
+    cfg = config.model
+    vocab_size = max(len(token_to_id), cfg.program_vocab_size)
+    import dataclasses as _dc
+
+    cfg = _dc.replace(
+        cfg, vocab_size=vocab_size, program_vocab_size=vocab_size,
+        num_answer_classes=vocab_size,
+        program_len=int(mapped["program_tokens"].shape[1]),
+        max_question_len=int(mapped["question_tokens"].shape[1]),
+    )
+    bbox_table = jnp.asarray(bbox_token_table(idx_to_token, vocab_size))
+
+    arrays = {
+        "questions": mapped["question_tokens"].astype(np.int32),
+        "programs": mapped["program_tokens"].astype(np.int32),
+        "answers": mapped["answer_tokens"][:, 0].astype(np.int32),
+        "image_index": mapped["image_index"].astype(np.int32),
+    }
+    gather = _FeatureGather(config.data.features_h5, as_tokens=True)
+    model = TransformerIQAP(cfg)
+    dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
+    variables = model.init(
+        jax.random.PRNGKey(config.train.seed), dummy_img,
+        jnp.asarray(arrays["questions"][:2]), method=model.init_all,
+    )
+
+    def loss_fn(params, batch, rng, train):
+        v = {"params": params}
+        rngs = {"dropout": rng} if train else {}
+        out = model.apply(v, batch["image"], batch["questions"],
+                          deterministic=not train, rngs=rngs)
+        answer_loss = cross_entropy(out["answer_logits"], batch["answers"])
+        # teacher-forced combined-sequence decode; CE skips bbox tokens
+        programs = batch["programs"]
+        inputs = jnp.concatenate(
+            [jnp.full((programs.shape[0], 1), 1, jnp.int32), programs[:, :-1]], axis=1
+        )
+        logits = model.apply(v, inputs, out["memory"], method=model.decode_programs_tf)
+        seq_loss = cross_entropy_skip_bbox(logits, programs, bbox_table, ignore_index=0)
+        pred = jnp.argmax(logits, -1)
+        metrics = answer_metrics(out["answer_logits"], batch["answers"])
+        metrics.update(masked_token_metrics(pred, programs))
+        return answer_loss + seq_loss, metrics
+
+    train_b, val_b, test_b, spe = _batch_factories(arrays, config, gather)
+    return Pipeline(model, variables["params"], loss_fn, train_b, val_b, test_b,
+                    ("answer_correct", "answer_total"), spe)
+
+
 _FAMILIES = {
     "generator": _generator_pipeline,
     "iqap": _iqap_pipeline,
     "lstm_iqap": _lstm_iqap_pipeline,
     "step_seq2seq": _step_seq2seq_pipeline,
+    "iqap_cot": _iqap_cot_pipeline,
     "executor": _executor_pipeline,
 }
 

@@ -175,3 +175,45 @@ def test_cli_infer_chain(workdir, tmp_path):
     results = json.load(open(out_json))
     assert len(results) == 4
     assert all("predicted_ids" in r for r in results)
+
+
+def test_cot_pipeline(workdir):
+    """CoT (bbox-as-tokens) family trains one step on the string-mode slice."""
+    import dataclasses
+
+    from explainable_spatial_vqa_tpu.core.config import IQAPConfig, get_preset
+    from explainable_spatial_vqa_tpu.train.pipelines import build_pipeline
+    from explainable_spatial_vqa_tpu.train.trainer import Trainer
+
+    # string-mode artifacts
+    cli_main([
+        "annotate", "--mode", "string",
+        "--scenes", str(workdir / "scenes.json"),
+        "--questions", str(workdir / "questions.json"),
+        "--output_h5", str(workdir / "mapped.h5"),
+        "--vocab_output", str(workdir / "string_vocab.json"),
+    ])
+    config = get_preset("transformer_iqap_cot")
+    config = config.replace(
+        model=IQAPConfig(
+            embed_dim=16, hidden_dim=16, num_heads=2, encoder_layers=1,
+            decoder_layers=1, num_image_tokens=16, image_feature_dim=64,
+            program_len=100, max_question_len=20, dropout=0.0,
+        ),
+        data=dataclasses.replace(
+            config.data,
+            mapped_sequences_h5=str(workdir / "mapped.h5"),
+            string_vocab_json=str(workdir / "string_vocab.json"),
+            features_h5=str(workdir / "features.h5"),
+            validation_split=0.3, test_split=0.2,
+        ),
+        train=dataclasses.replace(config.train, batch_size=2, num_epochs=1,
+                                  log_every=0, checkpoint_interval=100,
+                                  mesh_shape=(1,)),
+    )
+    pipeline = build_pipeline(config)
+    trainer = Trainer(pipeline.loss_fn, pipeline.params, config.optim, config.train,
+                      checkpoint_dir=False)
+    history = trainer.fit(pipeline.train_batches, pipeline.val_batches,
+                          monitor=pipeline.monitor, num_epochs=1)
+    assert np.isfinite(history["train"][0]["loss_sum"])
