@@ -240,6 +240,20 @@ class Trainer:
             self.store.wait()
         return history
 
+    def evaluate_best(
+        self, data: Iterable[Dict[str, np.ndarray]], rng: Optional[jax.Array] = None
+    ) -> MetricAccumulator:
+        """Evaluate with the best-so-far parameters (the reference reloads the
+        best state for its final test pass, train_transformer_iqap.py:523)."""
+        params = self.best_params if self.best_params is not None else self.state.params
+        params = jax.device_put(params, self._replicated)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        acc = MetricAccumulator()
+        for batch in data:
+            rng, step_rng = jax.random.split(rng)
+            acc.update(self._eval_step(params, self._put(batch), step_rng))
+        return acc
+
     def _save_payload(self):
         return {
             "state": jax.device_get(self.state),

@@ -90,3 +90,65 @@ def test_cogent_helpers():
     assert np.isin(image_indices[subset], np.arange(10)).all()
     report = CoGenTReport(a_zero_shot=0.713, b_zero_shot=0.603)
     assert "71.3" in report.report() and "60.3" in report.report()
+
+
+def test_data_efficiency_sweep():
+    from explainable_spatial_vqa_tpu.evalsuite import data_efficiency_sweep
+
+    result = data_efficiency_sweep(lambda f: f * 2, fractions=(0.1, 0.5))
+    assert result == {0.1: 0.2, 0.5: 1.0}
+
+
+def test_plot_history(tmp_path):
+    from explainable_spatial_vqa_tpu.utils.plots import history_curves, plot_history
+
+    history = {
+        "train": [{"loss_sum": 4.0, "batches": 2.0, "token_correct": 5, "token_total": 10},
+                  {"loss_sum": 2.0, "batches": 2.0, "token_correct": 8, "token_total": 10}],
+        "val": [{"loss_sum": 3.0, "batches": 1.0}],
+    }
+    curves = history_curves(history)
+    assert curves["train"] == [2.0, 1.0]
+    out = plot_history(history, str(tmp_path / "curves.png"))
+    assert out is not None
+    import os
+    assert os.path.getsize(out) > 0
+
+
+def test_executor_eval_driver():
+    import jax
+    import jax.numpy as jnp
+
+    from explainable_spatial_vqa_tpu.core.config import ExecutorConfig
+    from explainable_spatial_vqa_tpu.evalsuite.executor_eval import evaluate_executor_steps
+    from explainable_spatial_vqa_tpu.models.executor import ProgramExecutor
+
+    cfg = ExecutorConfig(
+        vocab_size=16, d_model=32, num_heads=2, encoder_layers=1, box_decoder_layers=1,
+        num_queries=3, num_image_tokens=4, image_feature_dim=8, max_input_boxes=3,
+        token_classes=8,
+    )
+    model = ProgramExecutor(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.rand(4, 4, 8).astype(np.float32),
+        "input_boxes": rng.rand(4, 3, 4).astype(np.float32),
+        "input_box_mask": np.ones((4, 3), bool),
+        "text": np.asarray([[1, 0, 0]] * 2 + [[2, 0, 0]] * 2, np.int32),
+        "text_mask": np.ones((4, 3), bool),
+        "target_boxes": rng.rand(4, 3, 4).astype(np.float32),
+        "target_box_mask": np.asarray([[1, 1, 0]] * 4, bool),
+        "token_target": np.asarray([0, 0, 3, 5], np.int32),
+        "is_box_branch": np.asarray([True, True, False, False]),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+        jnp.asarray(batch["input_boxes"]), jnp.asarray(batch["input_box_mask"]),
+        jnp.asarray(batch["text"]), jnp.asarray(batch["text_mask"]),
+    )
+    tally = evaluate_executor_steps(
+        model, variables, [batch], {1: "filter_size[large]", 2: "count"},
+    )
+    pr = tally.precision_recall()
+    assert "filter_size" in pr
+    assert "count" in tally.token_accuracy()
