@@ -59,7 +59,31 @@ def _execute_with_poisoning(
 ) -> Tuple[List[Any], List[List[int]]]:
     """Run the program once; after the first INVALID or error, every later
     step's output is None and its relevant-object set empty (positional, not
-    dependency-based — matching the reference's re-run-the-prefix behavior)."""
+    dependency-based — matching the reference's re-run-the-prefix behavior).
+
+    Uses the native C++ engine when built (make -C native); semantics are
+    identical (fuzz-tested in tests/test_native.py).
+    """
+    from explainable_spatial_vqa_tpu.clevr import native as native_engine
+
+    if native_engine.native_available():
+        try:
+            outputs = native_engine.execute_native(scene, program)
+        except Exception:
+            outputs = None
+        if outputs is not None:
+            node_outputs: List[Any] = list(outputs)
+            relevant: List[List[int]] = [
+                step_relevant_objects(
+                    step.get("function") or step.get("type"), value
+                )
+                for step, value in zip(program, outputs)
+            ]
+            while len(node_outputs) < len(program):
+                node_outputs.append(None)
+                relevant.append([])
+            return node_outputs, relevant
+
     executor = Executor(scene)
     node_outputs: List[Any] = []
     relevant: List[List[int]] = []
