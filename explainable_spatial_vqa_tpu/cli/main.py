@@ -289,6 +289,49 @@ def cmd_infer_chain(args: argparse.Namespace) -> None:
         logger.info("wrote %s", args.output_json)
 
 
+def cmd_stats(args: argparse.Namespace) -> None:
+    """Dataset invariants over annotated questions: max boxes per step, max
+    output tokens, function vocab size, box/token output case counts
+    (replaces find_max_boxes/find_max_tokens/find_function_vocab_size/
+    check_cases_of_bb_and_token.py)."""
+    from explainable_spatial_vqa_tpu.core.artifacts import read_annotated_h5
+    from explainable_spatial_vqa_tpu.train.datasets import parse_boxes
+
+    annotated = read_annotated_h5(args.annotated_h5)
+    max_in_boxes = max_out_boxes = max_tokens = max_steps = 0
+    functions = set()
+    box_steps = token_steps = empty_steps = 0
+    for q in annotated:
+        steps = q.get("annotated_program", [])
+        max_steps = max(max_steps, len(steps))
+        for step in steps:
+            functions.add(step.get("function", ""))
+            n_in = len(parse_boxes(step.get("input_values", "")))
+            n_out = len(parse_boxes(step.get("output_values", "")))
+            max_in_boxes = max(max_in_boxes, n_in)
+            max_out_boxes = max(max_out_boxes, n_out)
+            out_text = step.get("output_values", "").strip()
+            max_tokens = max(max_tokens, len(out_text.split()))
+            if n_out:
+                box_steps += 1
+            elif out_text:
+                token_steps += 1
+            else:
+                empty_steps += 1
+    report = {
+        "questions": len(annotated),
+        "max_steps": max_steps,
+        "max_input_boxes": max_in_boxes,
+        "max_output_boxes": max_out_boxes,
+        "max_output_tokens": max_tokens,
+        "function_vocab_size": len(functions),
+        "box_output_steps": box_steps,
+        "token_output_steps": token_steps,
+        "empty_output_steps": empty_steps,
+    }
+    print(json.dumps(report, indent=2))
+
+
 def cmd_inspect(args: argparse.Namespace) -> None:
     import h5py
     import numpy as np
@@ -376,6 +419,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=10)
     p.add_argument("--output_json", default=None)
     p.set_defaults(fn=cmd_infer_chain)
+
+    p = sub.add_parser("stats")
+    p.add_argument("--annotated_h5", required=True)
+    p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("inspect")
     p.add_argument("file")

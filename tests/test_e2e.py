@@ -217,3 +217,11 @@ def test_cot_pipeline(workdir):
     history = trainer.fit(pipeline.train_batches, pipeline.val_batches,
                           monitor=pipeline.monitor, num_epochs=1)
     assert np.isfinite(history["train"][0]["loss_sum"])
+
+
+def test_cli_stats(workdir, capsys):
+    cli_main(["stats", "--annotated_h5", str(workdir / "annotated.h5")])
+    out = json.loads(capsys.readouterr().out)
+    assert out["questions"] == 9
+    assert out["max_output_boxes"] >= 1
+    assert out["function_vocab_size"] > 0
