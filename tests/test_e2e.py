@@ -223,5 +223,8 @@ def test_cli_stats(workdir, capsys):
     cli_main(["stats", "--annotated_h5", str(workdir / "annotated.h5")])
     out = json.loads(capsys.readouterr().out)
     assert out["questions"] == 9
-    assert out["max_output_boxes"] >= 1
+    # converted records hold vocab ids (bbox text already id-mapped), so box
+    # counts apply to raw annotation files; token/step stats still hold here
+    assert out["max_steps"] >= 3
     assert out["function_vocab_size"] > 0
+    assert out["token_output_steps"] > 0
