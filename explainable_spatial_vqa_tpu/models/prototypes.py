@@ -37,6 +37,7 @@ __all__ = [
     "BBoxSelectionPredictor",
     "MultiHeadStepModel",
     "HierarchicalGenerator",
+    "CompositionalStepPredictor",
     "YoloDetector",
     "yolo_grid_loss",
 ]
@@ -373,3 +374,60 @@ def yolo_grid_loss(
     loss_obj = jnp.sum(jnp.where(obj, sq[..., 4], 0.0))
     loss_noobj = jnp.sum(jnp.where(~obj, sq[..., 4], 0.0))
     return (lambda_coord * loss_coord + loss_obj + lambda_noobj * loss_noobj) / pred.shape[0]
+
+
+class CompositionalStepPredictor(nn.Module):
+    """Mean-pooled multi-modal fusion prototype
+    (train_transformer_full_annotation.py:143-231): average-pooled image
+    features, mean question-token embeddings (hashed ids in the reference —
+    any id space works), mean input-bbox embeddings, mean chain-of-thought
+    token embeddings -> 4*d fusion -> (output bbox, next-function logits over
+    a 14-entry function vocab).  Batched here (the reference ran batch=1)."""
+
+    d_model: int = 256
+    question_vocab_size: int = 10000
+    prog_vocab_size: int = 1000
+    num_functions: int = 14
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        image_feat: jnp.ndarray,  # (B, C, H, W)
+        question_tokens: jnp.ndarray,  # (B, Lq) int, 0 = pad
+        input_boxes: jnp.ndarray,  # (B, N, 4)
+        input_box_mask: jnp.ndarray,  # (B, N) bool
+        prog_tokens: jnp.ndarray,  # (B, Lp) int, 0 = pad
+    ) -> Dict[str, jnp.ndarray]:
+        def masked_mean(x, mask):
+            total = jnp.sum(jnp.where(mask[..., None], x, 0.0), axis=1)
+            count = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1)
+            return total / count
+
+        f_img = nn.Dense(self.d_model, dtype=self.dtype, name="image_fc")(
+            jnp.mean(image_feat, axis=(2, 3)).astype(self.dtype)
+        )
+        q_emb = nn.Embed(self.question_vocab_size, self.d_model, name="question_emb")(
+            question_tokens
+        ).astype(self.dtype)
+        f_question = masked_mean(q_emb, question_tokens != 0)
+        f_input = masked_mean(
+            nn.Dense(self.d_model, dtype=self.dtype, name="input_encoder")(
+                input_boxes.astype(self.dtype)
+            ),
+            input_box_mask,
+        )
+        p_emb = nn.Embed(self.prog_vocab_size, self.d_model, name="prog_emb")(
+            prog_tokens
+        ).astype(self.dtype)
+        f_prog = masked_mean(p_emb, prog_tokens != 0)
+
+        fused = nn.Dense(self.d_model, dtype=self.dtype, name="fusion_fc")(
+            jnp.concatenate([f_img, f_question, f_input, f_prog], axis=-1)
+        )
+        return {
+            "pred_box": nn.Dense(4, dtype=jnp.float32, name="output_head")(fused),
+            "next_function_logits": nn.Dense(
+                self.num_functions, dtype=jnp.float32, name="function_head"
+            )(fused),
+        }

@@ -124,3 +124,20 @@ def test_hierarchical_generator():
     assert out["pred_boxes"].shape == (2, 3, 4)
     assert out["stop_logits"].shape == (2, 3)
     assert out["nonspatial_value"].shape == (2,)
+
+
+def test_compositional_step_predictor():
+    model = proto.CompositionalStepPredictor(
+        d_model=16, question_vocab_size=50, prog_vocab_size=30, num_functions=14
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 16, 2, 2), jnp.float32)
+    q = jnp.asarray(rng.randint(1, 50, (2, 6)), jnp.int32)
+    boxes = jnp.asarray(rng.rand(2, 3, 4), jnp.float32)
+    mask = jnp.asarray([[1, 1, 0], [0, 0, 0]], bool)  # second sample: no boxes
+    prog = jnp.asarray(rng.randint(1, 30, (2, 4)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), img, q, boxes, mask, prog)
+    out = model.apply(variables, img, q, boxes, mask, prog)
+    assert out["pred_box"].shape == (2, 4)
+    assert out["next_function_logits"].shape == (2, 14)
+    assert np.isfinite(np.asarray(out["pred_box"])).all()
