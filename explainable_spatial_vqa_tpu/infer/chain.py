@@ -162,6 +162,50 @@ class ExecutorChainRunner:
             "token_branch": np.asarray(state.token_branch),
         }
 
+    def run_bucketed(
+        self,
+        image_tokens,
+        chains: ChainArrays,
+        buckets: Tuple[int, ...] = (8, 12, 16, 20, 28),
+    ) -> Dict[str, np.ndarray]:
+        """Depth-bucketed execution: questions grouped by chain length so a
+        4-step question never pays for 28 loop iterations.  One compiled
+        runner per bucket depth (cached across calls); results are scattered
+        back into original order."""
+        num_steps = np.asarray(chains.num_steps)
+        n = len(num_steps)
+        final_tokens = np.zeros(n, np.int32)
+        final_is_token = np.zeros(n, bool)
+        buckets = tuple(b for b in sorted(set(buckets)) if b <= self.max_steps)
+        if not buckets or buckets[-1] < self.max_steps:
+            buckets = buckets + (self.max_steps,)
+        assigned = np.zeros(n, bool)
+        if not hasattr(self, "_bucket_runners"):
+            self._bucket_runners: Dict[int, "ExecutorChainRunner"] = {}
+        for depth in buckets:
+            select = (~assigned) & (num_steps <= depth)
+            assigned |= select
+            idx = np.flatnonzero(select)
+            if idx.size == 0:
+                continue
+            runner = self._bucket_runners.get(depth)
+            if runner is None:
+                runner = ExecutorChainRunner(
+                    self.model, self.variables, self.config, max_steps=depth
+                )
+                self._bucket_runners[depth] = runner
+            sub = ChainArrays(
+                chains.image_index[idx],
+                chains.functions[idx, :depth],
+                chains.deps[idx, :depth],
+                num_steps[idx],
+                [],
+            )
+            out = runner.run(np.asarray(image_tokens)[idx], sub)
+            final_tokens[idx] = out["final_tokens"]
+            final_is_token[idx] = out["final_is_token"]
+        return {"final_tokens": final_tokens, "final_is_token": final_is_token}
+
 
 class Seq2SeqChainRunner:
     """Chained inference for the step seq2seq model.

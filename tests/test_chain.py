@@ -115,3 +115,34 @@ def test_seq2seq_chain_matches_sequential():
         expected[: len(seq)] = seq
         got_compact = got[got != 0]
         np.testing.assert_array_equal(got_compact, np.asarray(seq))
+
+
+def test_bucketed_matches_plain():
+    """Depth-bucketed execution must produce identical final outputs."""
+    cfg = ExecutorConfig(
+        vocab_size=16, d_model=32, num_heads=4, encoder_layers=1, box_decoder_layers=1,
+        num_queries=3, num_image_tokens=4, image_feature_dim=8, max_input_boxes=4,
+        token_classes=8,
+    )
+    model = ProgramExecutor(cfg)
+    rng = np.random.RandomState(0)
+    n = 6
+    img = jnp.asarray(rng.rand(n, 4, 8), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), img, jnp.zeros((n, 4, 4)), jnp.ones((n, 4), bool),
+        jnp.zeros((n, 3), jnp.int32), jnp.ones((n, 3), bool),
+    )
+    max_steps = 6
+    functions = rng.randint(1, 10, (n, max_steps)).astype(np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    num_steps = np.asarray([2, 3, 4, 5, 6, 2], np.int32)
+    for i in range(n):
+        for k in range(1, num_steps[i]):
+            deps[i, k, 0] = k - 1
+    chains = ChainArrays(np.arange(n, dtype=np.int32), functions, deps, num_steps, [])
+
+    runner = ExecutorChainRunner(model, variables, cfg, max_steps=max_steps)
+    plain = runner.run(img, chains)
+    bucketed = runner.run_bucketed(img, chains, buckets=(3, 6))
+    np.testing.assert_array_equal(bucketed["final_tokens"], plain["final_tokens"])
+    np.testing.assert_array_equal(bucketed["final_is_token"], plain["final_is_token"])
