@@ -193,9 +193,9 @@ def run_reference_style(n_questions, device):
 def main():
     import jax
 
-    n = int(os.environ.get("BENCH_N", "512"))
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    baseline_n = int(os.environ.get("BENCH_BASELINE_N", "16"))
+    n = int(os.environ.get("BENCH_N", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    baseline_n = int(os.environ.get("BENCH_BASELINE_N", "8"))
 
     default = jax.devices()[0]
     value = run_vectorized(n, batch, default)

@@ -19,8 +19,6 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from explainable_spatial_vqa_tpu.clevr.scenes import Scene
-
 __all__ = [
     "approximate_bounding_box",
     "scene_bounding_boxes",

@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-import sys
 
 from explainable_spatial_vqa_tpu.utils.logging import setup_logging
 
@@ -150,7 +149,6 @@ def cmd_annotate(args: argparse.Namespace) -> None:
         converted = [voc.apply_split_vocab(copy.deepcopy(q), vocabs) for q in annotated]
         layout = "per_question"
     else:
-        _init = ann._init_worker  # reuse sweep plumbing with the full variant
         annotated = [
             ann.annotate_question_full(q, scenes[q["image_index"]])
             for q in questions

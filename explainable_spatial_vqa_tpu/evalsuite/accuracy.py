@@ -4,7 +4,7 @@ Attribute / Query Attribute)."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

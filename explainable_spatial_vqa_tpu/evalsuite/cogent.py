@@ -14,7 +14,7 @@ itself runs through the standard Trainer with CoGenT artifact paths.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

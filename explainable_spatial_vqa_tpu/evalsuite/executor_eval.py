@@ -8,7 +8,7 @@ tallies detections per function on host.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Mapping, Optional
+from typing import Any, Dict, Iterable, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,8 @@ vs GT) and tally the four quadrants CPCA / CPIA / IPIA / IPCA (thesis Table
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Sequence
+from dataclasses import dataclass
+from typing import Dict, Optional
 
 import numpy as np
 

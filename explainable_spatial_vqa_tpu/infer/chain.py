@@ -17,7 +17,7 @@ Questions shorter than ``max_steps`` are masked; everything has static shape.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ import numpy as np
 from flax import linen as nn
 
 from explainable_spatial_vqa_tpu.ops.attention import (
-    combine_masks,
     dot_product_attention,
     make_causal_mask,
 )

@@ -15,7 +15,6 @@ Responsibilities:
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple

@@ -9,7 +9,7 @@ import csv
 import logging
 import os
 import sys
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 __all__ = ["setup_logging", "MetricsWriter"]
 

@@ -5,7 +5,7 @@ history (the `--history_json` output of the train CLI)."""
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 __all__ = ["history_curves", "plot_history"]
 

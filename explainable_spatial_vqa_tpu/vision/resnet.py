@@ -15,7 +15,7 @@ numeric parity with the reference features).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Sequence, Tuple
+from typing import Any, Dict, Mapping, Sequence
 
 import jax.numpy as jnp
 import numpy as np
