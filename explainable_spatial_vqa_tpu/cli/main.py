@@ -196,9 +196,20 @@ def cmd_train(args: argparse.Namespace) -> None:
     history = trainer.fit(pipeline.train_batches, pipeline.val_batches,
                           monitor=pipeline.monitor)
     logger.info("training done; best %s = %.4f", pipeline.monitor, trainer.best_metric)
+    if args.eval_test:
+        acc = trainer.evaluate_best(pipeline.test_batches())
+        metric = acc.ratio(*pipeline.monitor)
+        logger.info("test: loss %.4f, %s = %.4f", acc.mean("loss_sum"),
+                    "/".join(pipeline.monitor), metric)
+        history["test"] = [acc.totals]
     if args.history_json:
         with open(args.history_json, "w") as f:
             json.dump(history, f, default=float)
+    if args.plot:
+        from explainable_spatial_vqa_tpu.utils.plots import plot_history
+
+        plot_history(history, args.plot)
+        logger.info("wrote %s", args.plot)
 
 
 def cmd_infer_chain(args: argparse.Namespace) -> None:
@@ -405,6 +416,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--history_json", default=None)
+    p.add_argument("--eval_test", action="store_true")
+    p.add_argument("--plot", default=None)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("infer-chain")
