@@ -212,6 +212,109 @@ def cmd_train(args: argparse.Namespace) -> None:
         logger.info("wrote %s", args.plot)
 
 
+def cmd_tally(args: argparse.Namespace) -> None:
+    """Full-pipeline faithfulness evaluation: generator + executor checkpoints
+    over an encoded-questions artifact; prints the CPCA/CPIA/IPCA/IPIA
+    quadrants (thesis Table 4.5) and answer accuracy by question type
+    (replaces inference_transformer_iqap_tally.py / run_model_*_tally.py)."""
+    import h5py
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from explainable_spatial_vqa_tpu.core.artifacts import read_questions_h5
+    from explainable_spatial_vqa_tpu.core.config import get_preset
+    from explainable_spatial_vqa_tpu.core.vocab import canonicalize, invert_vocab, load_vocab
+    from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+    from explainable_spatial_vqa_tpu.infer.pipeline import InferencePipeline
+    from explainable_spatial_vqa_tpu.models.executor import ProgramExecutor
+    from explainable_spatial_vqa_tpu.models.generator import ProgramGenerator
+    from explainable_spatial_vqa_tpu.train.checkpoints import CheckpointStore
+
+    enc = read_questions_h5(args.questions_h5)
+    limit = args.limit or len(enc.questions)
+    questions = enc.questions[:limit]
+    answers = enc.answers[:limit] if enc.answers is not None else None
+    programs = enc.programs[:limit] if enc.programs is not None else None
+    image_idxs = enc.image_idxs[:limit]
+
+    clevr_vocab = load_vocab(args.vocab_json)
+    split_vocab = load_vocab(args.split_vocab_json)
+    program_inv = invert_vocab(clevr_vocab["program_token_to_idx"])
+    answer_inv = invert_vocab(clevr_vocab["answer_token_to_idx"])
+    value_vocab = split_vocab["other"]
+
+    import dataclasses
+
+    gen_cfg = dataclasses.replace(
+        get_preset("generator").model,
+        vocab_size=int(questions.max()) + 1,
+        program_vocab_size=(int(programs.max()) + 1) if programs is not None else 64,
+        program_len=programs.shape[1] if programs is not None else 27,
+    )
+    exe_cfg = dataclasses.replace(
+        get_preset("executor").model,
+        vocab_size=len(split_vocab["function"]) + 1,
+        token_classes=len(value_vocab) + 1,
+    )
+    generator = ProgramGenerator(gen_cfg)
+    executor = ProgramExecutor(exe_cfg)
+
+    gen_vars = generator.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(questions[:2]), jnp.zeros((2, gen_cfg.program_len), jnp.int32),
+    )
+    exe_vars = executor.init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((2, exe_cfg.num_image_tokens, exe_cfg.image_feature_dim)),
+        jnp.zeros((2, exe_cfg.max_input_boxes, 4)),
+        jnp.ones((2, exe_cfg.max_input_boxes), bool),
+        jnp.zeros((2, 3), jnp.int32), jnp.ones((2, 3), bool),
+    )
+    for name, dirpath, variables in (
+        ("generator", args.generator_checkpoint, gen_vars),
+        ("executor", args.executor_checkpoint, exe_vars),
+    ):
+        if dirpath:
+            store = CheckpointStore(dirpath)
+            best = store.restore_best({"params": jax.device_get(variables["params"])})
+            if best is not None:
+                variables["params"] = best["params"]
+                logger.info("restored %s checkpoint from %s", name, dirpath)
+            else:
+                logger.warning("no %s checkpoint at %s (random weights)", name, dirpath)
+
+    with h5py.File(args.features_h5, "r") as f:
+        feats = f["features"][()]
+    n, c, h, w = feats.shape
+    image_tokens = feats.reshape(n, c, h * w).transpose(0, 2, 1).astype(np.float32)
+
+    runner = ExecutorChainRunner(executor, exe_vars, exe_cfg, max_steps=28)
+    pipeline = InferencePipeline(
+        generator, gen_vars, runner, program_inv, split_vocab["function"]
+    )
+    # GT answers in the executor's value-token space
+    gt_value_ids = None
+    if answers is not None:
+        gt_value_ids = np.asarray([
+            value_vocab.get(canonicalize(answer_inv.get(int(a), "")), -2)
+            for a in answers
+        ])
+    result = pipeline.run(questions, image_tokens, image_idxs,
+                          gt_answers=gt_value_ids, gt_programs=programs)
+    if result.tally is not None:
+        print(result.tally.report())
+        from explainable_spatial_vqa_tpu.evalsuite.accuracy import answer_accuracy_by_type
+
+        final_functions = [
+            program_inv.get(int(row[row != 0][-2]) if (row != 0).sum() > 1 else 0, "")
+            for row in programs
+        ]
+        pred = np.where(result.answer_valid, result.answers, -1)
+        acc = answer_accuracy_by_type(pred, gt_value_ids, final_functions)
+        print(json.dumps(acc, indent=2))
+
+
 def cmd_infer_chain(args: argparse.Namespace) -> None:
     """Chained inference over annotated questions with a trained step-seq2seq
     checkpoint; prints per-question predicted outputs and, when GT answers are
@@ -419,6 +522,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_test", action="store_true")
     p.add_argument("--plot", default=None)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("tally")
+    p.add_argument("--questions_h5", required=True)
+    p.add_argument("--features_h5", required=True)
+    p.add_argument("--vocab_json", required=True)
+    p.add_argument("--split_vocab_json", required=True)
+    p.add_argument("--generator_checkpoint", default=None)
+    p.add_argument("--executor_checkpoint", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_tally)
 
     p = sub.add_parser("infer-chain")
     p.add_argument("--annotated_h5", required=True)
