@@ -136,7 +136,13 @@ class InferencePipeline:
         chains = programs_to_chains(
             programs, image_index, self.executor_function_vocab, self.runner.max_steps
         )
-        out = self.runner.run(np.asarray(image_tokens)[chains.image_index], chains)
+        if isinstance(image_tokens, jax.Array):
+            # features resident in HBM: gather by index on device (no PCIe
+            # round-trip per call — the thesis image-feature cache)
+            gathered = jnp.take(image_tokens, jnp.asarray(chains.image_index), axis=0)
+        else:
+            gathered = np.asarray(image_tokens)[chains.image_index]
+        out = self.runner.run(gathered, chains)
         result = PipelineResult(
             program_ids=program_ids,
             answers=out["final_tokens"],
