@@ -212,6 +212,72 @@ def cmd_train(args: argparse.Namespace) -> None:
         logger.info("wrote %s", args.plot)
 
 
+def cmd_eval_generator(args: argparse.Namespace) -> None:
+    """Program-generator evaluation: greedy-decoded program accuracy (exact
+    match + token) over an encoded-questions artifact, with optional decoded
+    examples (replaces run_model_lstm_qp.py)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from explainable_spatial_vqa_tpu.core.artifacts import read_questions_h5
+    from explainable_spatial_vqa_tpu.core.config import get_preset
+    from explainable_spatial_vqa_tpu.core.vocab import invert_vocab, load_vocab
+    from explainable_spatial_vqa_tpu.evalsuite.accuracy import program_accuracy
+    from explainable_spatial_vqa_tpu.models.generator import ProgramGenerator
+    from explainable_spatial_vqa_tpu.train.checkpoints import CheckpointStore
+
+    enc = read_questions_h5(args.questions_h5)
+    assert enc.programs is not None, "questions h5 has no programs"
+    limit = args.limit or len(enc.questions)
+    questions, programs = enc.questions[:limit], enc.programs[:limit]
+
+    config = get_preset(args.preset)
+    model_cfg = dataclasses.replace(
+        config.model,
+        vocab_size=int(questions.max()) + 1,
+        program_vocab_size=int(programs.max()) + 1,
+        program_len=programs.shape[1],
+    )
+    model = ProgramGenerator(model_cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(questions[:2]), jnp.asarray(programs[:2]),
+    )
+    if args.checkpoint_dir:
+        store = CheckpointStore(args.checkpoint_dir)
+        best = store.restore_best({"params": jax.device_get(variables["params"])})
+        if best is not None:
+            variables = {"params": best["params"]}
+            logger.info("restored checkpoint from %s", args.checkpoint_dir)
+
+    generate = jax.jit(lambda q: model.apply(variables, q, method=model.generate))
+    outputs = []
+    bs = args.batch_size
+    for start in range(0, len(questions) - len(questions) % bs or bs, bs):
+        chunk = questions[start : start + bs]
+        if len(chunk) < bs:
+            break
+        outputs.append(np.asarray(generate(jnp.asarray(chunk))))
+    if not outputs:
+        outputs.append(np.asarray(generate(jnp.asarray(questions))))
+    pred = np.concatenate(outputs)[: len(programs)]
+    acc = program_accuracy(pred, programs[: len(pred)])
+    print(json.dumps(acc, indent=2))
+
+    if args.show and args.vocab_json:
+        vocab = load_vocab(args.vocab_json)
+        inv = invert_vocab(vocab["program_token_to_idx"])
+        for i in range(min(args.show, len(pred))):
+            decode = lambda row: " ".join(  # noqa: E731
+                inv.get(int(t), "?") for t in row if t not in (0,)
+            )
+            print(f"[{i}] pred: {decode(pred[i])}")
+            print(f"[{i}] gold: {decode(programs[i])}")
+
+
 def cmd_tally(args: argparse.Namespace) -> None:
     """Full-pipeline faithfulness evaluation: generator + executor checkpoints
     over an encoded-questions artifact; prints the CPCA/CPIA/IPCA/IPIA
@@ -522,6 +588,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_test", action="store_true")
     p.add_argument("--plot", default=None)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval-generator")
+    p.add_argument("--questions_h5", required=True)
+    p.add_argument("--preset", default="generator")
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--vocab_json", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--show", type=int, default=0)
+    p.set_defaults(fn=cmd_eval_generator)
 
     p = sub.add_parser("tally")
     p.add_argument("--questions_h5", required=True)

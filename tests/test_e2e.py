@@ -262,3 +262,16 @@ def test_cli_tally(workdir, capsys):
     out = capsys.readouterr().out
     assert "Faithfulness over 4 samples" in out
     assert "overall" in out
+
+
+def test_cli_eval_generator(workdir, capsys):
+    cli_main([
+        "eval-generator",
+        "--questions_h5", str(workdir / "questions.h5"),
+        "--preset", "lstm_qp",
+        "--vocab_json", str(workdir / "vocab.json"),
+        "--limit", "4", "--batch_size", "4", "--show", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "exact_match" in out
+    assert "pred:" in out
