@@ -212,6 +212,103 @@ def cmd_train(args: argparse.Namespace) -> None:
         logger.info("wrote %s", args.plot)
 
 
+def cmd_eval_iqap(args: argparse.Namespace) -> None:
+    """IQAP batch inference + JSON report: decoded question/program/answer per
+    sample, accuracy summary, wall-clock timing
+    (replaces run_model_transformer_iqap.py:306-544)."""
+    import dataclasses
+    import time
+
+    import h5py
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from explainable_spatial_vqa_tpu.core.artifacts import read_questions_h5
+    from explainable_spatial_vqa_tpu.core.config import get_preset
+    from explainable_spatial_vqa_tpu.core.vocab import invert_vocab, load_vocab
+    from explainable_spatial_vqa_tpu.evalsuite.accuracy import program_accuracy
+    from explainable_spatial_vqa_tpu.models.iqap import TransformerIQAP, generate_programs
+    from explainable_spatial_vqa_tpu.train.checkpoints import CheckpointStore
+
+    enc = read_questions_h5(args.questions_h5)
+    limit = args.limit or len(enc.questions)
+    questions = enc.questions[:limit]
+    answers = enc.answers[:limit] if enc.answers is not None else None
+    programs = enc.programs[:limit] if enc.programs is not None else None
+    image_idxs = enc.image_idxs[:limit]
+
+    vocab = load_vocab(args.vocab_json)
+    q_inv = invert_vocab(vocab["question_token_to_idx"])
+    p_inv = invert_vocab(vocab["program_token_to_idx"])
+    a_inv = invert_vocab(vocab["answer_token_to_idx"])
+
+    config = get_preset(args.preset)
+    with h5py.File(args.features_h5, "r") as f:
+        feat_shape = f["features"].shape
+        features = f["features"][()]
+    n, c, h, w = features.shape
+    image_tokens_all = features.reshape(n, c, h * w).transpose(0, 2, 1).astype(np.float32)
+
+    model_cfg = dataclasses.replace(
+        config.model,
+        vocab_size=int(questions.max()) + 1,
+        num_answer_classes=(int(answers.max()) + 1) if answers is not None else 32,
+        program_vocab_size=(int(programs.max()) + 1) if programs is not None else 45,
+        program_len=programs.shape[1] if programs is not None else 27,
+        max_question_len=questions.shape[1],
+        image_feature_dim=int(c),
+        num_image_tokens=int(h * w),
+    )
+    model = TransformerIQAP(model_cfg)
+    dummy = jnp.zeros((2, model_cfg.num_image_tokens, model_cfg.image_feature_dim))
+    variables = model.init(jax.random.PRNGKey(0), dummy, jnp.asarray(questions[:2]),
+                           method=model.init_all)
+    if args.checkpoint_dir:
+        store = CheckpointStore(args.checkpoint_dir)
+        best = store.restore_best({"params": jax.device_get(variables["params"])})
+        if best is not None:
+            variables = {"params": best["params"]}
+            logger.info("restored checkpoint from %s", args.checkpoint_dir)
+
+    forward = jax.jit(lambda img, q: model.apply(variables, img, q))
+    t0 = time.perf_counter()
+    out = forward(jnp.asarray(image_tokens_all[image_idxs]), jnp.asarray(questions))
+    pred_answers = np.argmax(np.asarray(out["answer_logits"]), axis=-1)
+    pred_programs = None
+    if programs is not None:
+        tokens, _ = generate_programs(model, variables, out["memory"],
+                                      max_len=programs.shape[1])
+        pred_programs = np.asarray(tokens)
+    elapsed = time.perf_counter() - t0
+
+    results = []
+    for i in range(len(questions)):
+        record = {
+            "image_index": int(image_idxs[i]),
+            "question": " ".join(q_inv.get(int(t), "?") for t in questions[i] if t),
+            "predicted_answer": a_inv.get(int(pred_answers[i]), "?"),
+        }
+        if answers is not None:
+            record["gt_answer"] = a_inv.get(int(answers[i]), "?")
+        if pred_programs is not None:
+            record["predicted_program"] = " ".join(
+                p_inv.get(int(t), "?") for t in pred_programs[i] if t
+            )
+        results.append(record)
+
+    summary = {"samples": len(results), "seconds": round(elapsed, 3)}
+    if answers is not None:
+        summary["answer_accuracy"] = float(np.mean(pred_answers == answers))
+    if pred_programs is not None and programs is not None:
+        summary.update(program_accuracy(pred_programs, programs))
+    print(json.dumps(summary, indent=2))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump({"summary": summary, "results": results}, f, indent=2)
+        logger.info("wrote %s", args.output_json)
+
+
 def cmd_eval_generator(args: argparse.Namespace) -> None:
     """Program-generator evaluation: greedy-decoded program accuracy (exact
     match + token) over an encoded-questions artifact, with optional decoded
@@ -588,6 +685,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_test", action="store_true")
     p.add_argument("--plot", default=None)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval-iqap")
+    p.add_argument("--questions_h5", required=True)
+    p.add_argument("--features_h5", required=True)
+    p.add_argument("--vocab_json", required=True)
+    p.add_argument("--preset", default="transformer_iqap")
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--output_json", default=None)
+    p.set_defaults(fn=cmd_eval_iqap)
 
     p = sub.add_parser("eval-generator")
     p.add_argument("--questions_h5", required=True)

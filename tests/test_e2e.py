@@ -275,3 +275,19 @@ def test_cli_eval_generator(workdir, capsys):
     out = capsys.readouterr().out
     assert "exact_match" in out
     assert "pred:" in out
+
+
+def test_cli_eval_iqap(workdir, capsys, tmp_path):
+    out_json = str(tmp_path / "iqap_results.json")
+    cli_main([
+        "eval-iqap",
+        "--questions_h5", str(workdir / "questions.h5"),
+        "--features_h5", str(workdir / "features.h5"),
+        "--vocab_json", str(workdir / "vocab.json"),
+        "--limit", "4",
+        "--output_json", out_json,
+    ])
+    report = json.load(open(out_json))
+    assert report["summary"]["samples"] == 4
+    assert "answer_accuracy" in report["summary"]
+    assert "predicted_program" in report["results"][0]
