@@ -34,6 +34,7 @@ class DataConfig:
     questions_h5: str = "data/train_questions.h5"
     annotated_h5: str = "data/annotated_questions.h5"
     mapped_sequences_h5: str = "data/mapped_sequences.h5"
+    scenes_h5: str = ""  # GT boxes for the iqap_bb variant (optional)
     string_vocab_json: str = "data/string_vocab.json"
     vocab_json: str = "data/vocab.json"
     split_vocab_json: str = "data/vocab3.json"

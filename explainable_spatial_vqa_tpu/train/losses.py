@@ -27,7 +27,8 @@ from explainable_spatial_vqa_tpu.ops.matching import (
     sinkhorn_assignment,
 )
 
-__all__ = ["cross_entropy", "binary_cross_entropy", "executor_set_loss"]
+__all__ = ["cross_entropy", "binary_cross_entropy", "executor_set_loss",
+           "smooth_l1", "masked_box_regression_loss"]
 
 
 def cross_entropy(
@@ -133,3 +134,21 @@ def executor_set_loss(
         "token_loss": token_loss,
         "assignment": assign,
     }
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    """Elementwise Huber/SmoothL1 (torch convention; used by the iqap_bb
+    variant's masked box regression, train_transformer_iqap_bb.py:104-125)."""
+    diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+
+
+def masked_box_regression_loss(
+    pred_boxes: jnp.ndarray,  # (B, S, 4)
+    target_boxes: jnp.ndarray,  # (B, S, 4)
+    mask: jnp.ndarray,  # (B, S) bool
+) -> jnp.ndarray:
+    """Mean SmoothL1 over valid box slots."""
+    per_box = jnp.sum(smooth_l1(pred_boxes, target_boxes), axis=-1)
+    valid = mask.astype(jnp.float32)
+    return jnp.sum(per_box * valid) / jnp.maximum(jnp.sum(valid) * 4.0, 1.0)

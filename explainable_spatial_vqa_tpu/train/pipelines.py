@@ -27,7 +27,11 @@ from explainable_spatial_vqa_tpu.models.lstm_iqap import LstmIQAP
 from explainable_spatial_vqa_tpu.models.step_executor import StepExecutorSeq2Seq
 from explainable_spatial_vqa_tpu.train import datasets as ds
 from explainable_spatial_vqa_tpu.train.data import Subset, batches, train_val_test_split
-from explainable_spatial_vqa_tpu.train.losses import cross_entropy, executor_set_loss
+from explainable_spatial_vqa_tpu.train.losses import (
+    cross_entropy,
+    executor_set_loss,
+    masked_box_regression_loss,
+)
 from explainable_spatial_vqa_tpu.train.metrics import (
     answer_metrics,
     masked_token_metrics,
@@ -141,6 +145,25 @@ def _iqap_pipeline(config: ExperimentConfig) -> Pipeline:
         "image_index": enc.image_idxs,
     }
     arrays = {k: v for k, v in arrays.items() if v is not None}
+    if config.model.with_bbox_head and getattr(config.data, "scenes_h5", None):
+        # per-image GT boxes for the bbox-head variant (scenes artifact,
+        # get_bounding_boxes.py layout), aligned by image_index
+        from explainable_spatial_vqa_tpu.core.artifacts import read_scenes_h5
+
+        scenes = read_scenes_h5(config.data.scenes_h5)
+        # CLEVR image indices are dense 0..N-1; sort rows into index order
+        order = np.argsort(scenes["image_index"])
+        boxes_by_image = scenes["bounding_boxes"][order]
+        labels_by_image = scenes["class_labels"][order]
+        slots = config.model.num_bbox_slots
+        gt = boxes_by_image[enc.image_idxs][:, :slots]
+        gt_mask = (labels_by_image[enc.image_idxs][:, :slots] > 0)
+        pad = slots - gt.shape[1]
+        if pad > 0:
+            gt = np.pad(gt, ((0, 0), (0, pad), (0, 0)))
+            gt_mask = np.pad(gt_mask, ((0, 0), (0, pad)))
+        arrays["target_boxes"] = gt.astype(np.float32)
+        arrays["target_box_mask"] = gt_mask
     gather = _FeatureGather(config.data.features_h5, as_tokens=True)
     model = TransformerIQAP(config.model)
     cfg = config.model
@@ -164,6 +187,14 @@ def _iqap_pipeline(config: ExperimentConfig) -> Pipeline:
             loss = (cfg.answer_loss_weight * loss
                     + cfg.program_loss_weight * cross_entropy(logits, batch["programs"]))
             metrics.update(program_metrics(tokens, batch["programs"]))
+        if "pred_boxes" in out and "target_boxes" in batch:
+            loss = loss + masked_box_regression_loss(
+                out["pred_boxes"], batch["target_boxes"], batch["target_box_mask"]
+            )
+            from explainable_spatial_vqa_tpu.train.metrics import mean_iou
+
+            metrics.update(mean_iou(out["pred_boxes"], batch["target_boxes"],
+                                    batch["target_box_mask"]))
         return loss, metrics
 
     train_b, val_b, test_b, spe = _batch_factories(arrays, config, gather)

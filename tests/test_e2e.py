@@ -291,3 +291,44 @@ def test_cli_eval_iqap(workdir, capsys, tmp_path):
     assert report["summary"]["samples"] == 4
     assert "answer_accuracy" in report["summary"]
     assert "predicted_program" in report["results"][0]
+
+
+def test_iqap_bb_pipeline(workdir):
+    """iqap_bb family trains one step with GT boxes from the scenes artifact."""
+    import dataclasses
+
+    from explainable_spatial_vqa_tpu.core.config import IQAPConfig, get_preset
+    from explainable_spatial_vqa_tpu.train.pipelines import build_pipeline
+    from explainable_spatial_vqa_tpu.train.trainer import Trainer
+
+    cli_main([
+        "export-scenes",
+        "--input_scenes_json", str(workdir / "scenes.json"),
+        "--output_h5_file", str(workdir / "scenes.h5"),
+    ])
+    config = get_preset("transformer_iqap_bb")
+    config = config.replace(
+        model=IQAPConfig(
+            embed_dim=16, hidden_dim=16, num_heads=2, encoder_layers=1,
+            decoder_layers=1, num_image_tokens=16, image_feature_dim=64,
+            program_len=27, max_question_len=46, dropout=0.0,
+            with_bbox_head=True, num_bbox_slots=5,
+        ),
+        data=dataclasses.replace(
+            config.data,
+            questions_h5=str(workdir / "questions.h5"),
+            features_h5=str(workdir / "features.h5"),
+            scenes_h5=str(workdir / "scenes.h5"),
+            validation_split=0.3, test_split=0.2,
+        ),
+        train=dataclasses.replace(config.train, batch_size=2, num_epochs=1,
+                                  log_every=0, checkpoint_interval=100,
+                                  mesh_shape=(1,)),
+    )
+    pipeline = build_pipeline(config)
+    trainer = Trainer(pipeline.loss_fn, pipeline.params, config.optim, config.train,
+                      checkpoint_dir=False)
+    history = trainer.fit(pipeline.train_batches, pipeline.val_batches,
+                          monitor=pipeline.monitor, num_epochs=1)
+    assert np.isfinite(history["train"][0]["loss_sum"])
+    assert "iou_sum" in history["train"][0]
