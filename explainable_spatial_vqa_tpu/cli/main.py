@@ -624,6 +624,10 @@ def cmd_inspect(args: argparse.Namespace) -> None:
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="explainable_spatial_vqa_tpu")
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "gpu", "axon"],
+        help="force a jax platform (overrides environment-pinned backends)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("build-vocab")
@@ -742,7 +746,17 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     setup_logging()
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    try:
+        args.fn(args)
+    except BrokenPipeError:
+        # output piped into head/less that exited early — not an error
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), 1)
 
 
 if __name__ == "__main__":

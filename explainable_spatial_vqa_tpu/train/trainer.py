@@ -212,6 +212,12 @@ class Trainer:
 
             if val_batches is not None:
                 val_acc = self.evaluate(val_batches(), eval_rng)
+                if not val_acc.totals:
+                    logger.warning(
+                        "validation yielded ZERO batches (dataset smaller than "
+                        "batch size x mesh?) — early stopping and best-checkpoint "
+                        "selection are inactive"
+                    )
                 history["val"].append(val_acc.totals)
                 metric = val_acc.ratio(*monitor)
                 logger.info("epoch %d val loss %.4f monitor %.4f",
