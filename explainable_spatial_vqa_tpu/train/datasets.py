@@ -164,7 +164,7 @@ def executor_step_arrays(
                 kind, value = step_outputs[dep]
                 if kind == "box":
                     dep_boxes.append(value)
-                elif kind == "token":
+                elif kind == "token" and value >= 0:
                     dep_tokens.append(value)
 
             if is_box:
