@@ -26,7 +26,8 @@ import numpy as np
 from explainable_spatial_vqa_tpu.core.config import ExecutorConfig, StepSeq2SeqConfig
 from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
 
-__all__ = ["ExecutorChainRunner", "Seq2SeqChainRunner", "compact_valid_first"]
+__all__ = ["ExecutorChainRunner", "Seq2SeqChainRunner", "compact_valid_first",
+           "run_bucketed_seq2seq"]
 
 
 def compact_valid_first(tokens: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -307,3 +308,47 @@ class Seq2SeqChainRunner:
         last = np.asarray(chains.num_steps) - 1
         rows = np.arange(len(last))
         return {"step_outputs": cache, "final_outputs": cache[rows, last]}
+
+
+def run_bucketed_seq2seq(
+    runner: "Seq2SeqChainRunner",
+    image_tokens,
+    chains: ChainArrays,
+    buckets: Tuple[int, ...] = (8, 12, 16, 20, 28),
+) -> Dict[str, np.ndarray]:
+    """Depth-bucketed execution for the seq2seq runner (mirrors
+    ExecutorChainRunner.run_bucketed): questions grouped by chain length,
+    one compiled loop per bucket depth, outputs scattered back."""
+    num_steps = np.asarray(chains.num_steps)
+    n = len(num_steps)
+    t = runner.config.max_tgt_len
+    step_outputs = np.zeros((n, runner.max_steps, t), np.int32)
+    final_outputs = np.zeros((n, t), np.int32)
+    buckets = tuple(b for b in sorted(set(buckets)) if b <= runner.max_steps)
+    if not buckets or buckets[-1] < runner.max_steps:
+        buckets = buckets + (runner.max_steps,)
+    if not hasattr(runner, "_bucket_runners"):
+        runner._bucket_runners = {}
+    assigned = np.zeros(n, bool)
+    for depth in buckets:
+        select = (~assigned) & (num_steps <= depth)
+        assigned |= select
+        idx = np.flatnonzero(select)
+        if idx.size == 0:
+            continue
+        sub_runner = runner._bucket_runners.get(depth)
+        if sub_runner is None:
+            sub_runner = Seq2SeqChainRunner(
+                runner.model, runner.variables, runner.config, max_steps=depth,
+                start_token=runner.start_token, end_token=runner.end_token,
+                pad_token=runner.pad_token,
+            )
+            runner._bucket_runners[depth] = sub_runner
+        sub = ChainArrays(
+            chains.image_index[idx], chains.functions[idx, :depth],
+            chains.deps[idx, :depth], num_steps[idx], [],
+        )
+        out = sub_runner.run(np.asarray(image_tokens)[idx], sub)
+        step_outputs[idx, :depth] = out["step_outputs"]
+        final_outputs[idx] = out["final_outputs"]
+    return {"step_outputs": step_outputs, "final_outputs": final_outputs}

@@ -146,3 +146,23 @@ def test_bucketed_matches_plain():
     bucketed = runner.run_bucketed(img, chains, buckets=(3, 6))
     np.testing.assert_array_equal(bucketed["final_tokens"], plain["final_tokens"])
     np.testing.assert_array_equal(bucketed["final_is_token"], plain["final_is_token"])
+
+
+def test_seq2seq_bucketed_matches_plain():
+    from explainable_spatial_vqa_tpu.infer.chain import run_bucketed_seq2seq
+
+    cfg = StepSeq2SeqConfig(
+        vocab_size=16, d_model=16, num_heads=2, encoder_layers=1, decoder_layers=1,
+        ffn_dim=32, max_src_len=8, max_tgt_len=4, num_image_tokens=4, image_feature_dim=8,
+    )
+    model = StepExecutorSeq2Seq(cfg)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 4, 8), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), img, jnp.zeros((2, 5), jnp.int32), jnp.zeros((2, 3), jnp.int32)
+    )
+    chains = _chains()
+    runner = Seq2SeqChainRunner(model, variables, cfg, max_steps=3)
+    plain = runner.run(img, chains)
+    bucketed = run_bucketed_seq2seq(runner, img, chains, buckets=(2, 3))
+    np.testing.assert_array_equal(bucketed["final_outputs"], plain["final_outputs"])
