@@ -28,6 +28,7 @@ from typing import Any, Dict, List, Mapping, Sequence, Tuple
 import numpy as np
 
 from explainable_spatial_vqa_tpu.clevr.executor import NON_SPATIAL_FUNCTIONS
+from explainable_spatial_vqa_tpu.core.vocab import canonicalize
 
 __all__ = [
     "SPECIALS_OFFSET",
@@ -171,13 +172,15 @@ def executor_step_arrays(
                 target = parse_boxes(out_text)
                 step_outputs.append(("box", target))
             else:
-                token_id = value_vocab.get(out_text, -1)
+                # raw annotations carry python reprs ("True"); the vocab is
+                # canonicalized (true/false), so canonicalize before lookup
+                token_id = value_vocab.get(canonicalize(out_text), -1)
                 step_outputs.append(("token", token_id))
 
             # build the record (skip degenerate steps)
             if is_box and len(parse_boxes(out_text)) == 0 and out_text == "":
                 continue
-            if not is_box and value_vocab.get(out_text, -1) < 0:
+            if not is_box and value_vocab.get(canonicalize(out_text), -1) < 0:
                 continue
 
             text = [function_vocab.get(function, 0)] + dep_tokens[:2]
@@ -202,7 +205,7 @@ def executor_step_arrays(
             else:
                 t_pad = np.zeros((max_output_boxes, 4), np.float32)
                 t_mask = np.zeros(max_output_boxes, bool)
-                token_target = value_vocab[out_text]
+                token_target = value_vocab[canonicalize(out_text)]
 
             records["image_index"].append(q["image_index"])
             records["text"].append(text)
