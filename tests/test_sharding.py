@@ -66,3 +66,52 @@ def test_tp_forward_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(out_ref["pred_boxes"]), np.asarray(out_tp["pred_boxes"]), atol=1e-5
     )
+
+
+def test_chain_runner_sharded_matches_single_device():
+    """Serving-path DP: the chain runner over a batch sharded across all 8
+    devices must produce identical results to unsharded execution."""
+    import jax.numpy as jnp
+
+    from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+    from explainable_spatial_vqa_tpu.parallel.mesh import batch_sharding, replicated
+    from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+
+    model = ProgramExecutor(CFG)
+    rng = np.random.RandomState(0)
+    n = 16
+    img = jnp.asarray(rng.rand(n, 16, 16), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), img[:2], jnp.zeros((2, 4, 4)), jnp.ones((2, 4), bool),
+        jnp.zeros((2, 3), jnp.int32), jnp.ones((2, 3), bool),
+    )
+    max_steps = 4
+    functions = rng.randint(1, 10, (n, max_steps)).astype(np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    num_steps = rng.randint(2, max_steps + 1, n).astype(np.int32)
+    for i in range(n):
+        for k in range(1, num_steps[i]):
+            deps[i, k, 0] = k - 1
+    chains = ChainArrays(np.arange(n, dtype=np.int32), functions, deps, num_steps, [])
+
+    runner = ExecutorChainRunner(model, variables, CFG, max_steps=max_steps)
+    plain = runner.run(img, chains)
+
+    mesh = make_mesh((8,), ("data",))
+    shard = batch_sharding(mesh)
+    rep = replicated(mesh)
+    sharded_vars = jax.device_put(variables, rep)
+    runner_sharded = ExecutorChainRunner(model, sharded_vars, CFG, max_steps=max_steps)
+    out = runner_sharded._run(
+        jax.device_put(img, shard),
+        jax.device_put(jnp.asarray(functions), shard),
+        jax.device_put(jnp.asarray(deps), shard),
+        jax.device_put(jnp.asarray(num_steps), shard),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.token_cache),
+        plain["token_cache"], atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.box_cache), plain["box_cache"], atol=1e-5
+    )
