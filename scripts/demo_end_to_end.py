@@ -42,7 +42,7 @@ from explainable_spatial_vqa_tpu.train import datasets as ds
 from explainable_spatial_vqa_tpu.train.losses import cross_entropy, executor_set_loss
 
 
-def train_generator(questions, vocab, steps=400):
+def train_generator(questions, vocab, steps=int(os.environ.get("DEMO_GEN_STEPS", "400"))):
     enc = encode_questions(questions, vocab)
     q, p = enc.questions, enc.programs
     cfg = GeneratorConfig(
@@ -77,7 +77,7 @@ def train_generator(questions, vocab, steps=400):
     return model, {"params": params}, float(loss), enc
 
 
-def train_executor(annotated, vocabs, features, steps=500):
+def train_executor(annotated, vocabs, features, steps=int(os.environ.get("DEMO_EXE_STEPS", "500"))):
     cfg = ExecutorConfig(
         vocab_size=len(vocabs["function"]) + 1,
         d_model=96, num_heads=4, encoder_layers=2, box_decoder_layers=1,
@@ -130,7 +130,8 @@ def train_executor(annotated, vocabs, features, steps=500):
 def main():
     t0 = time.time()
     print("synthesizing corpus...")
-    scenes_raw, questions = syn.synthesize_dataset(80, 6, seed=3)
+    num_scenes = int(os.environ.get("DEMO_SCENES", "80"))
+    scenes_raw, questions = syn.synthesize_dataset(num_scenes, 6, seed=3)
     scenes = {s["image_index"]: Scene.from_raw(s) for s in scenes_raw}
     clevr_vocab = voc.build_clevr_vocab([questions])
     annotated = ann.annotate_questions(questions, scenes)
@@ -140,7 +141,7 @@ def main():
     ]).astype(np.float32)
 
     # held-out scenes for evaluation
-    train_scenes = set(range(64))
+    train_scenes = set(range(int(num_scenes * 0.8)))
     train_q = [q for q in questions if q["image_index"] in train_scenes]
     train_ann = [a for a in annotated if a["image_index"] in train_scenes]
     eval_q = [q for q in questions if q["image_index"] not in train_scenes]
@@ -179,8 +180,8 @@ def main():
         "# End-to-end demonstration (synthetic CLEVR-compatible data)",
         "",
         "Generated by `scripts/demo_end_to_end.py` — trains the Program",
-        "Generator and the thesis Program Executor from scratch on an 80-scene",
-        "synthetic corpus (64 train / 16 held-out scenes), then runs the full",
+        f"Generator and the thesis Program Executor from scratch on a {num_scenes}-scene",
+        "synthetic corpus (80/20 scene split), then runs the full",
         "vectorized pipeline (greedy program generation -> postfix parse ->",
         "chained grounded execution -> answer) on questions over scenes never",
         "seen in training.",
@@ -189,7 +190,7 @@ def main():
         f"eval: {len(eval_q)} questions on 16 held-out scenes",
         f"- generator final TF loss: {gen_loss:.4f}",
         f"- executor final set loss: {exe_loss:.4f}",
-        f"- wall time (CPU): {elapsed:.0f}s",
+        f"- wall time ({os.environ.get('DEMO_PLATFORM', 'cpu')}): {elapsed:.0f}s",
         "",
         "## Faithfulness quadrants (thesis Table 4.5 protocol)",
         "",
