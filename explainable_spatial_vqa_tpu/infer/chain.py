@@ -125,9 +125,6 @@ class ExecutorChainRunner:
 
             active = k < num_steps
 
-            def put(cache, value, mask):
-                return cache.at[rows, k].set(jnp.where(mask, value, cache[rows, k]))
-
             state = ChainState(
                 box_cache=state.box_cache.at[rows, k].set(
                     jnp.where(active[:, None, None], out["pred_boxes"], 0.0)
