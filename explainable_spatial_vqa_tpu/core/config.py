@@ -106,7 +106,7 @@ class ExecutorConfig:
     cost_l1: float = 5.0
     cost_giou: float = 2.0
     cost_conf: float = 1.0
-    matcher: str = "hungarian"  # or "sinkhorn"
+    matcher: str = "auto"  # auto: hungarian on cpu, sinkhorn on tpu; or explicit
 
 
 @dataclass(frozen=True)

@@ -81,7 +81,12 @@ def executor_set_loss(
         - config.cost_conf * jnp.log(jnp.clip(pred_conf, 1e-7, 1.0))[..., None]
     )
     cost = jax.lax.stop_gradient(cost)
-    if config.matcher == "hungarian":
+    matcher = config.matcher
+    if matcher == "auto":
+        # host callbacks are unsupported on some TPU runtimes (and slow on
+        # all of them); exact Hungarian only where the host is close
+        matcher = "hungarian" if jax.default_backend() == "cpu" else "sinkhorn"
+    if matcher == "hungarian":
         assign = hungarian_assignment(cost, target_box_mask)  # (B, Q), -1 = unmatched
     else:
         assign = sinkhorn_assignment(cost, target_box_mask)

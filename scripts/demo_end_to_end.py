@@ -83,7 +83,7 @@ def train_executor(annotated, vocabs, features, steps=int(os.environ.get("DEMO_E
         d_model=96, num_heads=4, encoder_layers=2, box_decoder_layers=1,
         num_queries=8, num_image_tokens=196, image_feature_dim=64,
         max_input_boxes=8, token_classes=len(vocabs["other"]) + 1,
-        dropout=0.0, matcher="hungarian",
+        dropout=0.0,
     )
     arrays = ds.executor_step_arrays(
         annotated, vocabs["function"], vocabs["other"],
