@@ -29,6 +29,7 @@ from explainable_spatial_vqa_tpu.core.config import OptimConfig, TrainConfig
 from explainable_spatial_vqa_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from explainable_spatial_vqa_tpu.train.checkpoints import CheckpointStore
 from explainable_spatial_vqa_tpu.train.metrics import MetricAccumulator
+from explainable_spatial_vqa_tpu.train.prefetch import prefetch
 
 logger = logging.getLogger(__name__)
 
@@ -154,7 +155,7 @@ class Trainer:
 
     def train_epoch(self, data: Iterable[Dict[str, np.ndarray]], rng: jax.Array) -> MetricAccumulator:
         acc = MetricAccumulator()
-        for i, batch in enumerate(data):
+        for i, batch in enumerate(prefetch(data)):
             rng, step_rng = jax.random.split(rng)
             self.state, metrics = self._train_step(self.state, self._put(batch), step_rng)
             acc.update(metrics)
@@ -164,7 +165,7 @@ class Trainer:
 
     def evaluate(self, data: Iterable[Dict[str, np.ndarray]], rng: jax.Array) -> MetricAccumulator:
         acc = MetricAccumulator()
-        for batch in data:
+        for batch in prefetch(data):
             rng, step_rng = jax.random.split(rng)
             acc.update(self._eval_step(self.state.params, self._put(batch), step_rng))
         return acc

@@ -121,3 +121,19 @@ def test_trainer_runs_on_mesh(tmp_path):
     assert len(shard_devices) == 8
     state, metrics = trainer._train_step(trainer.state, put, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss_sum"]))
+
+
+def test_prefetch_iterator():
+    from explainable_spatial_vqa_tpu.train.prefetch import prefetch
+
+    assert list(prefetch(iter(range(10)), depth=3)) == list(range(10))
+    assert list(prefetch([], depth=2)) == []
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="producer failed"):
+        next(it)
