@@ -31,8 +31,10 @@ from explainable_spatial_vqa_tpu.clevr.scenes import Scene
 
 __all__ = [
     "random_scene",
+    "random_scene_cogent",
     "random_question",
     "synthesize_dataset",
+    "synthesize_cogent_dataset",
     "scene_feature_map",
     "ATTRIBUTE_VALUES",
 ]
@@ -201,3 +203,47 @@ def scene_feature_map(
         for c in chans:
             feat[c, cy0:cy1, cx0:cx1] = 1.0
     return feat
+
+
+def random_scene_cogent(
+    rng: np.random.RandomState, image_index: int, condition: str,
+    num_objects: Optional[int] = None,
+) -> Dict[str, Any]:
+    """CoGenT-conditioned scene: condition 'A' restricts cubes to
+    gray/blue/brown/yellow and cylinders to red/green/purple/cyan; 'B' swaps
+    the two palettes; spheres take any color (thesis §4.2.2 / evalsuite.cogent
+    palettes)."""
+    from explainable_spatial_vqa_tpu.evalsuite.cogent import (
+        COGENT_A_PALETTE,
+        COGENT_B_PALETTE,
+    )
+
+    palette = COGENT_A_PALETTE if condition == "A" else COGENT_B_PALETTE
+    scene = random_scene(rng, image_index, num_objects)
+    for obj in scene["objects"]:
+        allowed = sorted(palette[obj["shape"]])
+        obj["color"] = allowed[rng.randint(len(allowed))]
+    return scene
+
+
+def synthesize_cogent_dataset(
+    num_scenes: int, questions_per_scene: int, condition: str, seed: int = 0,
+    image_index_base: int = 0,
+) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
+    """Condition-restricted corpus for the CoGenT A->B protocol."""
+    rng = np.random.RandomState(seed)
+    scenes_raw = [
+        random_scene_cogent(rng, image_index_base + i, condition)
+        for i in range(num_scenes)
+    ]
+    questions: List[Dict[str, Any]] = []
+    for raw in scenes_raw:
+        scene = Scene.from_raw(raw)
+        made = attempts = 0
+        while made < questions_per_scene and attempts < questions_per_scene * 20:
+            attempts += 1
+            q = random_question(rng, scene, len(questions))
+            if q is not None:
+                questions.append(q)
+                made += 1
+    return scenes_raw, questions

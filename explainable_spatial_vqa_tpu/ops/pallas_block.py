@@ -59,7 +59,7 @@ def _block_kernel(num_heads: int,
     v = jnp.dot(xc, wv_ref[...], preferred_element_type=jnp.float32) + bv_ref[...]
 
     scale = 1.0 / np.sqrt(head_dim).astype(np.float32)
-    attn = jnp.zeros((length, d_model), jnp.float32)
+    head_outs = []
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
@@ -68,9 +68,8 @@ def _block_kernel(num_heads: int,
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         weights = jnp.exp(scores)
         weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-30)
-        attn = attn.at[:, sl].set(
-            jnp.dot(weights, vh, preferred_element_type=jnp.float32)
-        )
+        head_outs.append(jnp.dot(weights, vh, preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(head_outs, axis=-1)  # scatter is not lowerable
 
     o = jnp.dot(attn.astype(w_dtype), wo_ref[...],
                 preferred_element_type=jnp.float32) + bo_ref[...]

@@ -183,3 +183,21 @@ def test_generator_learns_templated_questions():
         em += int((gen[i][:end] == gold[i][:end]).all())
     exact = em / len(gold)
     assert exact > 0.7, (exact, float(loss))
+
+
+def test_cogent_conditioned_scenes():
+    from explainable_spatial_vqa_tpu.evalsuite.cogent import (
+        COGENT_A_PALETTE,
+        COGENT_B_PALETTE,
+    )
+
+    for cond, palette in (("A", COGENT_A_PALETTE), ("B", COGENT_B_PALETTE)):
+        scenes, questions = syn.synthesize_cogent_dataset(4, 3, cond, seed=5)
+        assert len(scenes) == 4 and questions
+        for s in scenes:
+            for o in s["objects"]:
+                assert o["color"] in palette[o["shape"]]
+    # conditions differ: a B cube color is never a valid A cube color
+    a_cubes = COGENT_A_PALETTE["cube"]
+    b_cubes = COGENT_B_PALETTE["cube"]
+    assert not (a_cubes & b_cubes)
