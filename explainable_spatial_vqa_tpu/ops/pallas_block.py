@@ -15,9 +15,19 @@ budget at d=512, L<=256, ffn=2048, bf16 weights: ~7.3 MB weights + ~2.5 MB
 activations — comfortably under the 16 MB/core limit.
 
 Numerics match models.layers.EncoderBlock (post-LN, fp32 LayerNorm/softmax)
-to ~1e-5; the adapter `fuse_encoder_params` lifts a linen EncoderBlock's
-variables into the kernel's flat weight list.  Interpret mode runs on CPU for
-tests; Mosaic compiles the same kernel on TPU.
+to ~1e-5 (fp32 weights) / 4e-3 (bf16 weights vs fp32 reference); the adapter
+`fuse_encoder_params` lifts a linen EncoderBlock's variables into the
+kernel's flat weight list.  Interpret mode runs on CPU for tests; Mosaic
+compiles the same kernel on TPU.
+
+Measured on v5e (B=128, L=216, d=512, H=4): XLA fp32 56.3 ms / XLA bf16
+29.9 ms / this kernel (bf16 weights) 49.4 ms.  fp32 weights exceed the 16 MB
+VMEM scoped limit by ~140 KB at this size (bf16 fits).  Verdict: the
+per-cell whole-sequence layout serializes the batch through one core and
+feeds the MXU (216x512)x(512x512) tiles, while XLA batches the projections
+over all 128x216 rows — XLA's fusion wins at this scale, so the kernel
+remains an opt-in reference implementation; the production path stays on
+XLA (bf16), which is also what bench.py measures.
 """
 
 from __future__ import annotations
