@@ -28,7 +28,7 @@ from explainable_spatial_vqa_tpu.ops.matching import (
 )
 
 __all__ = ["cross_entropy", "binary_cross_entropy", "executor_set_loss",
-           "smooth_l1", "masked_box_regression_loss"]
+           "smooth_l1", "masked_box_regression_loss", "perturb_input_boxes"]
 
 
 def cross_entropy(
@@ -157,3 +157,27 @@ def masked_box_regression_loss(
     per_box = jnp.sum(smooth_l1(pred_boxes, target_boxes), axis=-1)
     valid = mask.astype(jnp.float32)
     return jnp.sum(per_box * valid) / jnp.maximum(jnp.sum(valid) * 4.0, 1.0)
+
+
+def perturb_input_boxes(
+    boxes: jnp.ndarray,  # (B, S, 4)
+    mask: jnp.ndarray,  # (B, S) bool
+    rng: jax.Array,
+    noise_scale: float,
+    drop_prob: float,
+) -> tuple:
+    """Grounding-noise augmentation for executor training.
+
+    At chained inference the executor consumes its own imperfect box
+    predictions; teacher-forced training never sees that distribution
+    (exposure bias).  This jitters dependency boxes by Gaussian noise on the
+    corners and randomly drops valid slots, approximating upstream error.
+    """
+    noise_rng, drop_rng = jax.random.split(rng)
+    if noise_scale > 0.0:
+        noise = noise_scale * jax.random.normal(noise_rng, boxes.shape)
+        boxes = jnp.clip(boxes + noise * mask[..., None], 0.0, 1.0)
+    if drop_prob > 0.0:
+        keep = jax.random.bernoulli(drop_rng, 1.0 - drop_prob, mask.shape)
+        mask = jnp.logical_and(mask, keep)
+    return boxes, mask

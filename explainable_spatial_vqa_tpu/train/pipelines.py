@@ -298,9 +298,17 @@ def _executor_pipeline(config: ExperimentConfig) -> Pipeline:
 
     def loss_fn(params, batch, rng, train):
         rngs = {"dropout": rng} if train else {}
+        input_boxes, input_mask = batch["input_boxes"], batch["input_box_mask"]
+        if train and (cfg.input_box_noise > 0.0 or cfg.input_box_drop > 0.0):
+            from explainable_spatial_vqa_tpu.train.losses import perturb_input_boxes
+
+            input_boxes, input_mask = perturb_input_boxes(
+                input_boxes, input_mask, jax.random.fold_in(rng, 7),
+                cfg.input_box_noise, cfg.input_box_drop,
+            )
         out = model.apply(
-            {"params": params}, batch["image"], batch["input_boxes"],
-            batch["input_box_mask"], batch["text"], batch["text_mask"],
+            {"params": params}, batch["image"], input_boxes,
+            input_mask, batch["text"], batch["text_mask"],
             deterministic=not train, rngs=rngs,
         )
         losses = executor_set_loss(

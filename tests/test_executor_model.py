@@ -151,3 +151,20 @@ def test_executor_overfits_tiny_batch(model_and_vars):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, losses[::10]
+
+
+def test_perturb_input_boxes():
+    from explainable_spatial_vqa_tpu.train.losses import perturb_input_boxes
+
+    rng = np.random.RandomState(0)
+    boxes = jnp.asarray(rng.rand(4, 6, 4), jnp.float32)
+    mask = jnp.ones((4, 6), bool)
+    out_b, out_m = perturb_input_boxes(boxes, mask, jax.random.PRNGKey(0), 0.05, 0.3)
+    assert out_b.shape == boxes.shape
+    assert not np.allclose(np.asarray(out_b), np.asarray(boxes))
+    assert (np.asarray(out_b) >= 0).all() and (np.asarray(out_b) <= 1).all()
+    assert np.asarray(out_m).sum() < 24  # some slots dropped
+    # disabled -> identity
+    same_b, same_m = perturb_input_boxes(boxes, mask, jax.random.PRNGKey(0), 0.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(same_b), np.asarray(boxes))
+    np.testing.assert_array_equal(np.asarray(same_m), np.asarray(mask))
