@@ -84,6 +84,8 @@ def train_executor(annotated, vocabs, features, steps=int(os.environ.get("DEMO_E
         num_queries=8, num_image_tokens=196, image_feature_dim=64,
         max_input_boxes=8, token_classes=len(vocabs["other"]) + 1,
         dropout=0.0,
+        input_box_noise=float(os.environ.get("DEMO_NOISE", "0")),
+        input_box_drop=float(os.environ.get("DEMO_DROP", "0")),
     )
     arrays = ds.executor_step_arrays(
         annotated, vocabs["function"], vocabs["other"],
@@ -112,12 +114,21 @@ def train_executor(annotated, vocabs, features, steps=int(os.environ.get("DEMO_E
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    for _ in range(steps):
+    from explainable_spatial_vqa_tpu.train.losses import perturb_input_boxes
+
+    noise_key = jax.random.PRNGKey(123)
+    for it in range(steps):
         idx = rng.choice(n, 64, replace=False)
         params, opt_state, loss = step(
             params, opt_state,
-            jnp.asarray(images[idx]), jnp.asarray(arrays["input_boxes"][idx]),
-            jnp.asarray(arrays["input_box_mask"][idx]), jnp.asarray(arrays["text"][idx]),
+            jnp.asarray(images[idx]),
+            *perturb_input_boxes(
+                jnp.asarray(arrays["input_boxes"][idx]),
+                jnp.asarray(arrays["input_box_mask"][idx]),
+                jax.random.fold_in(noise_key, it),
+                cfg.input_box_noise, cfg.input_box_drop,
+            ),
+            jnp.asarray(arrays["text"][idx]),
             jnp.asarray(arrays["text_mask"][idx]),
             jnp.asarray(arrays["target_boxes"][idx]),
             jnp.asarray(arrays["target_box_mask"][idx]),
