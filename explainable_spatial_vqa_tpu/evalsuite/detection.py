@@ -95,3 +95,35 @@ class DetectionTally:
         for fn, acc in self.token_accuracy().items():
             lines.append(f"  {fn}: {acc:.2f}")
         return "\n".join(lines)
+
+
+def calibrate_conf_threshold(
+    confidences: "np.ndarray", is_true_positive_at: "np.ndarray",
+    thresholds: "np.ndarray" = None,
+):
+    """Pick the confidence threshold maximizing box F1 on a validation set.
+
+    ``confidences``: flat (N,) predicted confidences; ``is_true_positive_at``:
+    (N,) bool — whether that prediction matches an unclaimed GT at IoU>=0.5
+    (from greedy matching with threshold 0 applied first).  Returns
+    (best_threshold, best_f1).  The thesis fixes 0.5 (Table 4.1); this tunes
+    it per checkpoint — box-quality-sensitive functions (count/exist) are
+    sensitive to calibration at chained inference.
+    """
+    import numpy as np
+
+    if thresholds is None:
+        thresholds = np.linspace(0.05, 0.95, 19)
+    total_gt = int(np.sum(is_true_positive_at))  # each TP corresponds to one GT
+    best = (0.5, -1.0)
+    for t in thresholds:
+        keep = confidences >= t
+        tp = int(np.sum(is_true_positive_at & keep))
+        fp = int(np.sum(keep)) - tp
+        fn = total_gt - tp
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+        if f1 > best[1]:
+            best = (float(t), f1)
+    return best

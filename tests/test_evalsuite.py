@@ -152,3 +152,13 @@ def test_executor_eval_driver():
     pr = tally.precision_recall()
     assert "filter_size" in pr
     assert "count" in tally.token_accuracy()
+
+
+def test_calibrate_conf_threshold():
+    from explainable_spatial_vqa_tpu.evalsuite.detection import calibrate_conf_threshold
+
+    conf = np.asarray([0.9, 0.8, 0.7, 0.3, 0.2, 0.1])
+    tp = np.asarray([True, True, True, False, False, False])
+    threshold, f1 = calibrate_conf_threshold(conf, tp)
+    assert 0.3 < threshold <= 0.7
+    assert f1 == 1.0
