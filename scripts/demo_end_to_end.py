@@ -103,9 +103,21 @@ def train_executor(annotated, vocabs, features, steps=int(os.environ.get("DEMO_E
     rng = np.random.RandomState(0)
     n = len(arrays["text"])
 
+    from explainable_spatial_vqa_tpu.train.losses import perturb_input_boxes
+
+    noise_key = jax.random.PRNGKey(123)
+
     @jax.jit
-    def step(params, opt_state, image, boxes, bmask, text, tmask,
+    def step(params, opt_state, it, image, boxes, bmask, text, tmask,
              tgt_boxes, tgt_mask, tok_tgt, is_box):
+        if cfg.input_box_noise > 0.0 or cfg.input_box_drop > 0.0:
+            # derive the key inside the jit: per-iteration eager PRNG ops
+            # interleaved with jitted steps can deadlock the CPU client
+            boxes, bmask = perturb_input_boxes(
+                boxes, bmask, jax.random.fold_in(noise_key, it),
+                cfg.input_box_noise, cfg.input_box_drop,
+            )
+
         def loss_fn(p):
             out = model.apply({"params": p}, image, boxes, bmask, text, tmask)
             return executor_set_loss(out, tgt_boxes, tgt_mask, tok_tgt, is_box, cfg)["loss"]
@@ -114,20 +126,13 @@ def train_executor(annotated, vocabs, features, steps=int(os.environ.get("DEMO_E
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    from explainable_spatial_vqa_tpu.train.losses import perturb_input_boxes
-
-    noise_key = jax.random.PRNGKey(123)
     for it in range(steps):
         idx = rng.choice(n, 64, replace=False)
         params, opt_state, loss = step(
-            params, opt_state,
+            params, opt_state, jnp.asarray(it, jnp.int32),
             jnp.asarray(images[idx]),
-            *perturb_input_boxes(
-                jnp.asarray(arrays["input_boxes"][idx]),
-                jnp.asarray(arrays["input_box_mask"][idx]),
-                jax.random.fold_in(noise_key, it),
-                cfg.input_box_noise, cfg.input_box_drop,
-            ),
+            jnp.asarray(arrays["input_boxes"][idx]),
+            jnp.asarray(arrays["input_box_mask"][idx]),
             jnp.asarray(arrays["text"][idx]),
             jnp.asarray(arrays["text_mask"][idx]),
             jnp.asarray(arrays["target_boxes"][idx]),
@@ -135,6 +140,9 @@ def train_executor(annotated, vocabs, features, steps=int(os.environ.get("DEMO_E
             jnp.asarray(arrays["token_target"][idx]),
             jnp.asarray(arrays["is_box_branch"][idx]),
         )
+        if (it + 1) % 100 == 0:
+            print(f"  executor step {it + 1}/{steps} loss {float(loss):.4f}",
+                  flush=True)
     return model, {"params": params}, cfg, float(loss)
 
 
