@@ -176,24 +176,38 @@ def annotate_question_full(
     question: Dict[str, Any],
     scene: Scene,
     boxes: Optional[Any] = None,
+    style: str = "repr1",
 ) -> Dict[str, Any]:
-    """The ``full_annotation`` variant consumed by the step-executor trainer
-    (/root/reference/code/preprocess_scenes/preprocess_full_annotation.py:232-353).
+    """Input-step-grounded annotation variants.
 
-    Differences from v3: 1-decimal boxes rendered with ``str(float)`` (so
-    ``[0.1 0.2 0.3 0.4]``), and ``input_values`` built from the *input steps'*
-    relevant objects (spatial) or node outputs (non-spatial) rather than
-    chaining output_values.
+    ``style="repr1"``: the ``full_annotation`` variant consumed by the
+    step-executor trainer — 1-decimal boxes rendered with ``str(float)``
+    (``[0.1 0.2 0.3 0.4]``)
+    (/root/reference/code/preprocess_scenes/preprocess_full_annotation.py:232-353).
+    ``style="fixed4"``: the ``continous`` v1 variant — 4-decimal fixed-width
+    boxes (``[0.1234 ...]``), same record structure
+    (preprocess_continous.py annotate, diff vs v3 = input-step grounding).
+
+    Both build ``input_values`` from the *input steps'* relevant objects
+    (spatial) or node outputs (non-spatial) rather than chaining
+    output_values as v3 does.
     """
     program = question["program"]
     if boxes is None:
-        boxes = scene_bounding_boxes(scene.raw, decimals=1)
+        boxes = scene_bounding_boxes(scene.raw, decimals=1 if style == "repr1" else 4)
     node_outputs, relevant = _execute_with_poisoning(scene, program)
     num_objects = len(scene.objects)
 
+    if style == "repr1":
+        def fmt(box):
+            return "[%s %s %s %s]" % tuple(map(repr, map(float, box)))
+    else:
+        def fmt(box):
+            return "[%.4f %.4f %.4f %.4f]" % tuple(map(float, box))
+
     def bbox_strs(obj_indices: Sequence[Any]) -> List[str]:
         return [
-            "[%s %s %s %s]" % tuple(map(repr, map(float, boxes[obj_idx])))
+            fmt(boxes[obj_idx])
             for obj_idx in obj_indices
             if obj_idx is not None and 0 <= obj_idx < num_objects
         ]

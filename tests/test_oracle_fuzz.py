@@ -137,3 +137,65 @@ def test_v3_rich_program_fuzz_parity(oracle, seed):
         scene = Scene.from_raw(raw)
         mine = [ann.annotate_question(q, scene) for q in questions]
         assert mine == expected
+
+
+@pytest.fixture(scope="module")
+def oracle_v12():
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    return {
+        "v1": load("o_v1", f"{REF}/preprocess_scenes/preprocess_continous.py"),
+        "v2": load("o_v2", f"{REF}/preprocess_scenes/preprocess_continousv2.py"),
+    }
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_v1_annotation_fuzz_parity(oracle_v12, seed):
+    """continous v1: input-step grounding with fixed-4 boxes + joint
+    bbox-excluded vocab."""
+    scenes_raw, by_scene = _corpus(seed)
+    for raw in scenes_raw:
+        questions = by_scene.get(raw["image_index"], [])
+        if not questions:
+            continue
+        expected = _ref_annotate(
+            oracle_v12["v1"], "annotate_questions_with_relevant_objects", raw, questions
+        )
+        scene = Scene.from_raw(raw)
+        mine = [ann.annotate_question_full(q, scene, style="fixed4") for q in questions]
+        assert mine == expected
+        ref_vocab = oracle_v12["v1"].build_vocab_from_dataset(expected)
+        assert voc.build_joint_noboxes_vocab(mine) == ref_vocab
+        ref_conv = [oracle_v12["v1"].apply_vocab(copy.deepcopy(a), ref_vocab)
+                    for a in expected]
+        my_conv = [voc.apply_joint_noboxes_vocab(copy.deepcopy(a), ref_vocab)
+                   for a in mine]
+        assert my_conv == ref_conv
+
+
+@pytest.mark.parametrize("seed", [61])
+def test_v2_annotation_fuzz_parity(oracle_v12, seed):
+    """continous v2: v3-style records + joint bbox-excluded vocab."""
+    scenes_raw, by_scene = _corpus(seed)
+    for raw in scenes_raw:
+        questions = by_scene.get(raw["image_index"], [])
+        if not questions:
+            continue
+        expected = _ref_annotate(
+            oracle_v12["v2"], "annotate_questions_with_relevant_objects", raw, questions
+        )
+        scene = Scene.from_raw(raw)
+        mine = [ann.annotate_question(q, scene) for q in questions]
+        assert mine == expected
+        ref_vocab = oracle_v12["v2"].build_vocab_from_dataset(expected)
+        assert voc.build_joint_noboxes_vocab(mine) == ref_vocab
+        my_conv = [voc.apply_joint_noboxes_vocab(copy.deepcopy(a), ref_vocab)
+                   for a in mine]
+        ref_conv = [oracle_v12["v2"].apply_vocab(copy.deepcopy(a), ref_vocab)
+                    for a in expected]
+        assert my_conv == ref_conv
