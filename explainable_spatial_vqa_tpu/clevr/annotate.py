@@ -367,3 +367,73 @@ def annotate_questions(
     with mp.Pool(num_workers, initializer=_init_worker, initargs=(scenes,)) as pool:
         out = pool.map(_annotate_one, questions, chunksize=256)
     return [q for q in out if q is not None]
+
+
+def annotate_question_structured(
+    question: Dict[str, Any],
+    scene: Scene,
+    boxes: Optional[Any] = None,
+) -> Dict[str, Any]:
+    """Structured (non-string) annotation variant
+    (/root/reference/code/preprocess_scenes/preprocess_one_annotation.py:255-397):
+    input/output values stay python objects — spatial values as
+    ``[{'bbox': (x, y, x, y)}]`` with 1-decimal boxes, non-spatial values raw;
+    each step carries a cumulative ``chain_of_thought`` of function tokens;
+    a synthetic terminal ``end`` step holds the question's answer.
+    """
+    program = question["program"]
+    if boxes is None:
+        boxes = scene_bounding_boxes(scene.raw, decimals=1)
+    node_outputs, relevant = _execute_with_poisoning(scene, program)
+    num_objects = len(scene.objects)
+
+    def bbox_dicts(obj_indices: Sequence[Any]) -> List[Dict[str, Any]]:
+        return [
+            {"bbox": tuple(float(c) for c in boxes[obj_idx])}
+            for obj_idx in obj_indices
+            if obj_idx is not None and 0 <= obj_idx < num_objects
+        ]
+
+    annotated_program: List[Dict[str, Any]] = []
+    chain_list: List[str] = []
+    for i, step in enumerate(program):
+        annotated_step = dict(step)
+        function_name = annotated_step.get("function", "")
+        values = step.get("value_inputs") or []
+        combined = f"{function_name}[{','.join(map(str, values))}]" if values else function_name
+        annotated_step["function"] = combined
+
+        chain_list.append(combined)
+        annotated_step["chain_of_thought"] = list(chain_list)
+
+        base = combined.split("[")[0]
+        if base in NON_SPATIAL_FUNCTIONS:
+            annotated_step["input_values"] = [
+                node_outputs[inp] for inp in step.get("inputs", [])
+            ]
+            annotated_step["output_values"] = node_outputs[i]
+        elif base in SPATIAL_FUNCTIONS:
+            gathered: List[Dict[str, Any]] = []
+            for inp in step.get("inputs", []):
+                if inp < len(relevant):
+                    gathered.extend(bbox_dicts(relevant[inp]))
+            annotated_step["input_values"] = gathered
+            annotated_step["output_values"] = bbox_dicts(relevant[i])
+        else:
+            annotated_step["input_values"] = []
+            annotated_step["output_values"] = []
+        annotated_program.append(annotated_step)
+
+    if annotated_program:
+        annotated_program.append({
+            "inputs": [len(annotated_program) - 1],
+            "function": "end",
+            "value_inputs": [],
+            "chain_of_thought": list(chain_list) + ["end"],
+            "input_values": annotated_program[-1].get("output_values", []),
+            "output_values": question.get("answer"),
+        })
+
+    annotated = dict(question)
+    annotated["annotated_program"] = annotated_program
+    return annotated

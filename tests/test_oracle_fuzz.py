@@ -199,3 +199,27 @@ def test_v2_annotation_fuzz_parity(oracle_v12, seed):
         ref_conv = [oracle_v12["v2"].apply_vocab(copy.deepcopy(a), ref_vocab)
                     for a in expected]
         assert my_conv == ref_conv
+
+
+@pytest.mark.parametrize("seed", [71])
+def test_structured_annotation_fuzz_parity(seed):
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    oa = load("o_one", f"{REF}/preprocess_scenes/preprocess_one_annotation.py")
+    scenes_raw, by_scene = _corpus(seed)
+    for raw in scenes_raw:
+        questions = by_scene.get(raw["image_index"], [])
+        scene = Scene.from_raw(raw)
+        # the reference script annotates only its first question ("one
+        # sample"); compare per question
+        for q in questions:
+            expected = _ref_annotate(
+                oa, "annotate_questions_with_relevant_objects", raw, [q]
+            )
+            mine = ann.annotate_question_structured(q, scene)
+            assert [mine] == expected
