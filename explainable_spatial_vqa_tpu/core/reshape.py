@@ -113,11 +113,14 @@ def read_question_groups(path: str, flat: bool = False) -> List[Dict[str, Any]]:
 
 def stream_split_questions(
     input_json: str, output_dir: str, chunk_size: int = 10000,
-    prefix: str = "questions_part",
+    prefix: str = "questions_part", read_block: int = 1 << 20,
 ) -> List[str]:
-    """Split a large questions JSON into chunk files without holding the whole
-    parse in memory: questions are streamed one record at a time with an
-    incremental raw-decoder scan."""
+    """Split a larger-than-RAM questions JSON into chunk files.
+
+    True streaming (the reference's preprocess_split_jsons.py goal): the file
+    is read in blocks, records are parsed incrementally with raw_decode, and
+    the consumed prefix of the buffer is discarded — resident memory is
+    O(read_block + one output chunk), independent of file size."""
     os.makedirs(output_dir, exist_ok=True)
     decoder = json.JSONDecoder()
     paths: List[str] = []
@@ -134,19 +137,47 @@ def stream_split_questions(
         chunk = []
 
     with open(input_json, "r") as f:
-        text = f.read()  # single pass over the raw text; records parsed lazily
-    start = text.index('"questions"')
-    start = text.index("[", start) + 1
-    pos = start
-    while True:
-        while pos < len(text) and text[pos] in " \t\r\n,":
-            pos += 1
-        if pos >= len(text) or text[pos] == "]":
-            break
-        record, end = decoder.raw_decode(text, pos)
-        chunk.append(record)
-        pos = end
-        if len(chunk) >= chunk_size:
-            flush()
+        buf = ""
+        # locate the start of the questions array, reading as needed
+        while True:
+            idx = buf.find('"questions"')
+            if idx >= 0:
+                bracket = buf.find("[", idx)
+                if bracket >= 0:
+                    buf = buf[bracket + 1 :]
+                    break
+            more = f.read(read_block)
+            if not more:
+                raise ValueError("no 'questions' array found")
+            # keep a tail in case the marker straddles a block boundary
+            buf = buf[-32:] + more if idx < 0 else buf + more
+
+        pos = 0
+        done = False
+        while not done:
+            while True:
+                while pos < len(buf) and buf[pos] in " \t\r\n,":
+                    pos += 1
+                if pos >= len(buf):
+                    break  # need more data
+                if buf[pos] == "]":
+                    done = True
+                    break
+                try:
+                    record, end = decoder.raw_decode(buf, pos)
+                except json.JSONDecodeError:
+                    break  # record truncated at buffer end; need more data
+                chunk.append(record)
+                pos = end
+                if len(chunk) >= chunk_size:
+                    flush()
+            if done:
+                break
+            buf = buf[pos:]
+            pos = 0
+            more = f.read(read_block)
+            if not more:
+                done = True
+            buf += more
     flush()
     return paths

@@ -40,3 +40,18 @@ def test_stream_split_questions(tmp_path, golden_synthetic):
     for p in paths:
         merged.extend(json.load(open(p))["questions"])
     assert merged == questions
+
+
+def test_stream_split_small_blocks(tmp_path, golden_synthetic):
+    """Streaming splitter with a tiny read block: records straddle block
+    boundaries and must still parse (true bounded-memory path)."""
+    questions = golden_synthetic["questions"]
+    src = tmp_path / "big2.json"
+    json.dump({"info": {"x": 1}, "questions": questions}, open(src, "w"))
+    paths = reshape.stream_split_questions(
+        str(src), str(tmp_path / "parts2"), chunk_size=2, read_block=97
+    )
+    merged = []
+    for p in paths:
+        merged.extend(json.load(open(p))["questions"])
+    assert merged == questions
