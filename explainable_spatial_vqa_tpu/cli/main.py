@@ -607,6 +607,31 @@ def cmd_stats(args: argparse.Namespace) -> None:
     print(json.dumps(report, indent=2))
 
 
+def cmd_visualize(args: argparse.Namespace) -> None:
+    """Overlay approximated GT boxes for one scene onto its image (replaces
+    inspect_bounding_boxes_image.ipynb / inference_bb_onlyv3's draw loop)."""
+    from PIL import Image
+
+    from explainable_spatial_vqa_tpu.clevr.bboxes import scene_bounding_boxes
+    from explainable_spatial_vqa_tpu.core.artifacts import load_scenes_json
+    from explainable_spatial_vqa_tpu.utils.visualize import draw_boxes
+
+    scenes = load_scenes_json(args.input_scenes_json)
+    scene = next(s for s in scenes if s["image_index"] == args.image_index)
+    boxes = scene_bounding_boxes(scene, decimals=None)
+    if args.image:
+        image = Image.open(args.image).convert("RGB")
+    else:
+        image = Image.new("RGB", (480, 320), "black")
+    labels = [
+        f"{o['size']} {o['color']} {o['material']} {o['shape']}"
+        for o in scene["objects"]
+    ]
+    draw_boxes(image, boxes.tolist(), labels=labels if args.labels else None)
+    image.save(args.output)
+    logger.info("wrote %s (%d boxes)", args.output, len(boxes))
+
+
 def cmd_inspect(args: argparse.Namespace) -> None:
     import h5py
     import numpy as np
@@ -734,6 +759,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("stats")
     p.add_argument("--annotated_h5", required=True)
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("visualize")
+    p.add_argument("--input_scenes_json", required=True)
+    p.add_argument("--image_index", type=int, default=0)
+    p.add_argument("--image", default=None, help="source PNG (black canvas if absent)")
+    p.add_argument("--labels", action="store_true")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_visualize)
 
     p = sub.add_parser("inspect")
     p.add_argument("file")

@@ -332,3 +332,14 @@ def test_iqap_bb_pipeline(workdir):
                           monitor=pipeline.monitor, num_epochs=1)
     assert np.isfinite(history["train"][0]["loss_sum"])
     assert "iou_sum" in history["train"][0]
+
+
+def test_cli_visualize(workdir, tmp_path):
+    out = str(tmp_path / "scene.png")
+    cli_main([
+        "visualize", "--input_scenes_json", str(workdir / "scenes.json"),
+        "--image_index", "0", "--labels", "--output", out,
+    ])
+    import os
+
+    assert os.path.getsize(out) > 0
