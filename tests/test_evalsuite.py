@@ -162,3 +162,31 @@ def test_calibrate_conf_threshold():
     threshold, f1 = calibrate_conf_threshold(conf, tp)
     assert 0.3 < threshold <= 0.7
     assert f1 == 1.0
+
+
+def test_assemble_report():
+    from explainable_spatial_vqa_tpu.evalsuite.cogent import CoGenTReport
+    from explainable_spatial_vqa_tpu.evalsuite.report import assemble_report
+
+    tally = DetectionTally()
+    gt = np.asarray([[0.0, 0.0, 0.5, 0.5]])
+    tally.add_box_step("filter_size[large]", gt, gt)
+    tally.add_token_step("exist", 1, 1)
+    faith = tally_faithfulness(
+        np.asarray([1, 2]), np.asarray([1, 1]),
+        np.asarray([[1], [2]]), np.asarray([[1], [1]]),
+    )
+    report = assemble_report(
+        "unit",
+        answer_accuracy={"overall": 0.703, "count": 0.694, "exist": 0.751,
+                         "compare_number": 0.653, "compare_attribute": 0.649,
+                         "query_attribute": 0.711},
+        detection=tally,
+        faithfulness=faith,
+        cogent=CoGenTReport(0.713, 0.603, 0.667, 0.642),
+        extra={"qa_pairs_per_sec_per_chip": 1982.7},
+    )
+    assert "70.3" in report and "filter_size" in report
+    assert "Correct | Correct" in report
+    assert "71.3" in report and "60.3" in report
+    assert "1982.7" in str(report)
