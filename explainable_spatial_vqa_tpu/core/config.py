@@ -107,11 +107,14 @@ class ExecutorConfig:
     cost_giou: float = 2.0
     cost_conf: float = 1.0
     matcher: str = "auto"  # auto: hungarian on cpu, sinkhorn on tpu; or explicit
+    sinkhorn_iters: int = 20
+    sinkhorn_tau: float = 1.0  # lower = sharper (closer to exact assignment)
     # grounding-noise augmentation: at train time, jitter dependency boxes and
     # drop/spoof box slots to simulate imperfect upstream predictions (the
     # chained-inference regime).  0 disables (reference-faithful training).
     input_box_noise: float = 0.0
     input_box_drop: float = 0.0
+    remat: bool = False  # rematerialize fusion blocks (memory vs FLOPs)
 
 
 @dataclass(frozen=True)

@@ -101,7 +101,7 @@ class ProgramExecutor(nn.Module):
         )
         self.fusion = TransformerEncoder(
             cfg.encoder_layers, cfg.d_model, cfg.num_heads, cfg.d_model * 4,
-            cfg.dropout, dtype=self.dtype, name="fusion",
+            cfg.dropout, dtype=self.dtype, remat=cfg.remat, name="fusion",
         )
         self.routing_head = nn.Dense(2, dtype=jnp.float32, name="routing_head")
         self.token_head = nn.Dense(cfg.token_classes, dtype=jnp.float32, name="token_head")

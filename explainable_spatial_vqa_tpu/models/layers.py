@@ -298,10 +298,13 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     norm: str = "post"
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize block activations in backward
 
     def setup(self) -> None:
+        block_cls = (nn.remat(EncoderBlock, static_argnums=(3,))
+                     if self.remat else EncoderBlock)
         self.blocks = [
-            EncoderBlock(
+            block_cls(
                 self.d_model, self.num_heads, self.ffn_dim, self.dropout, self.norm, self.dtype,
                 name=f"block_{i}",
             )

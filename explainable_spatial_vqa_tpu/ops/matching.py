@@ -104,17 +104,21 @@ def sinkhorn(log_alpha: jnp.ndarray, n_iters: int = 20) -> jnp.ndarray:
 
 
 def sinkhorn_assignment(
-    cost: jnp.ndarray, target_mask: Optional[jnp.ndarray] = None, n_iters: int = 20
+    cost: jnp.ndarray, target_mask: Optional[jnp.ndarray] = None,
+    n_iters: int = 20, tau: float = 1.0,
 ) -> jnp.ndarray:
     """Per-query argmax over a Sinkhorn-relaxed transport plan.
 
     cost: (..., Q, T); target_mask: (..., T) True=valid.  Returns (..., Q)
     int32 target indices (meaningless where no valid target exists).
     Invalid targets are excluded by +inf cost before normalization.
+    ``tau`` is the entropic temperature: lower = sharper transport, closer to
+    the exact assignment (at the price of slower Sinkhorn convergence —
+    raise n_iters together).
     """
     if target_mask is not None:
         cost = jnp.where(target_mask[..., None, :], cost, 1e9)
-    plan = sinkhorn(-cost, n_iters)
+    plan = sinkhorn(-cost / tau, n_iters)
     return jnp.argmax(plan, axis=-1).astype(jnp.int32)
 
 

@@ -89,7 +89,10 @@ def executor_set_loss(
     if matcher == "hungarian":
         assign = hungarian_assignment(cost, target_box_mask)  # (B, Q), -1 = unmatched
     else:
-        assign = sinkhorn_assignment(cost, target_box_mask)
+        assign = sinkhorn_assignment(
+            cost, target_box_mask,
+            n_iters=config.sinkhorn_iters, tau=config.sinkhorn_tau,
+        )
         # every query gets a "match"; mark queries beyond the target count
         # unmatched by confidence target only when targets exist at the slot
         valid_at = jnp.take_along_axis(target_box_mask, jnp.clip(assign, 0, None), axis=-1)

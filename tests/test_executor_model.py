@@ -168,3 +168,43 @@ def test_perturb_input_boxes():
     same_b, same_m = perturb_input_boxes(boxes, mask, jax.random.PRNGKey(0), 0.0, 0.0)
     np.testing.assert_array_equal(np.asarray(same_b), np.asarray(boxes))
     np.testing.assert_array_equal(np.asarray(same_m), np.asarray(mask))
+
+
+def test_remat_executor_gradients_match():
+    """Rematerialized fusion must produce identical loss and gradients."""
+    import dataclasses
+
+    cfg_remat = dataclasses.replace(CFG, remat=True)
+    model = ProgramExecutor(CFG)
+    model_remat = ProgramExecutor(cfg_remat)
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), *batch)
+    rng = np.random.RandomState(1)
+    target_boxes = jnp.asarray(rng.rand(2, 3, 4), jnp.float32)
+    target_mask = jnp.asarray([[1, 1, 0], [1, 0, 0]], bool)
+    token_targets = jnp.asarray([3, 5], jnp.int32)
+    is_box = jnp.asarray([True, False])
+
+    def loss(mdl):
+        def fn(p):
+            out = mdl.apply({"params": p}, *batch)
+            return executor_set_loss(out, target_boxes, target_mask,
+                                     token_targets, is_box, CFG)["loss"]
+        return jax.value_and_grad(fn)(variables["params"])
+
+    l1, g1 = loss(model)
+    l2, g2 = loss(model_remat)
+    assert np.isclose(float(l1), float(l2), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sinkhorn_tau_sharpens():
+    """Lower tau must approach the exact Hungarian assignment on a hard case."""
+    rng = np.random.RandomState(3)
+    cost = jnp.asarray(rng.rand(4, 5, 5), jnp.float32)
+    mask = jnp.ones((4, 5), bool)
+    exact = np.asarray(hungarian_assignment(cost, mask))
+    sharp = np.asarray(sinkhorn_assignment(cost, mask, n_iters=200, tau=0.01))
+    agreement = (exact == sharp).mean()
+    assert agreement >= 0.9, agreement
