@@ -86,6 +86,8 @@ def train_executor(annotated, vocabs, features, steps=int(os.environ.get("DEMO_E
         dropout=0.0,
         input_box_noise=float(os.environ.get("DEMO_NOISE", "0")),
         input_box_drop=float(os.environ.get("DEMO_DROP", "0")),
+        sinkhorn_tau=float(os.environ.get("DEMO_SINKHORN_TAU", "1.0")),
+        sinkhorn_iters=int(os.environ.get("DEMO_SINKHORN_ITERS", "20")),
     )
     arrays = ds.executor_step_arrays(
         annotated, vocabs["function"], vocabs["other"],
