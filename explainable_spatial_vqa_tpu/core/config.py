@@ -106,7 +106,8 @@ class ExecutorConfig:
     cost_l1: float = 5.0
     cost_giou: float = 2.0
     cost_conf: float = 1.0
-    matcher: str = "auto"  # auto: hungarian on cpu, sinkhorn on tpu; or explicit
+    matcher: str = "auto"  # auto = hungarian_jax (exact, in-jit, any backend);
+    # also: hungarian (host callback), sinkhorn (entropic relaxation)
     sinkhorn_iters: int = 20
     sinkhorn_tau: float = 1.0  # lower = sharper (closer to exact assignment)
     # grounding-noise augmentation: at train time, jitter dependency boxes and

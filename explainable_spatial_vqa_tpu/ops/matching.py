@@ -39,6 +39,7 @@ __all__ = [
     "sinkhorn",
     "sinkhorn_assignment",
     "hungarian_assignment",
+    "hungarian_assignment_jax",
 ]
 
 
@@ -219,3 +220,118 @@ def hungarian_assignment(cost: jnp.ndarray, target_mask: jnp.ndarray) -> jnp.nda
         _hungarian_host, out_shape, jax.lax.stop_gradient(cost.astype(jnp.float32)), num_valid,
         vmap_method="sequential",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Hungarian fully inside jit (no host callback) — the TPU matcher
+# ---------------------------------------------------------------------------
+#
+# Jonker-Volgenant shortest-augmenting-path LAP, the same algorithm as
+# ``_lsa_numpy`` above, expressed with ``lax.while_loop``/``fori_loop`` so it
+# runs on device under jit/pjit (the axon TPU runtime has no host callbacks).
+# The executor matches 10 queries to <=10 targets, so the O(n^3) sequential
+# structure is ~100 tiny vector steps — negligible next to the model step and,
+# unlike Sinkhorn, EXACT (round-1 verdict item 2: Sinkhorn cost the TPU path
+# 15 accuracy points on the DEMO protocol).
+
+
+def _lap_single(cost: jnp.ndarray) -> jnp.ndarray:
+    """Exact LAP for one (n, m) cost matrix with n <= m, float32, in-jit.
+
+    Returns (n,) int32: the column assigned to each row.  1-based internal
+    arrays mirror the classic e-maxx formulation (sentinel column 0).
+    """
+    n, m = cost.shape
+    big = jnp.asarray(jnp.finfo(jnp.float32).max / 4, jnp.float32)
+    # pad to 1-based: costp[i, j] = cost[i-1, j-1]
+    costp = jnp.pad(cost.astype(jnp.float32), ((1, 0), (1, 0)))
+    cols = jnp.arange(m + 1)
+
+    def row_body(i, carry):
+        u, v, p = carry  # u:(n+1,), v:(m+1,), p:(m+1,) int32 (row matched to col)
+        i1 = i + 1  # 1-based row index
+        p = p.at[0].set(i1)
+        minv = jnp.full((m + 1,), big)
+        way = jnp.zeros((m + 1,), jnp.int32)
+        used = jnp.zeros((m + 1,), bool)
+        j0 = jnp.int32(0)
+
+        def path_cond(state):
+            u, v, p, minv, way, used, j0 = state
+            return p[j0] != 0
+
+        def path_body(state):
+            u, v, p, minv, way, used, j0 = state
+            used = used.at[j0].set(True)
+            i0 = p[j0]
+            cur = costp[i0] - u[i0] - v  # (m+1,) over all columns
+            upd = (~used) & (cur < minv) & (cols > 0)
+            minv = jnp.where(upd, cur, minv)
+            way = jnp.where(upd, j0, way)
+            masked = jnp.where(used | (cols == 0), big, minv)
+            j1 = jnp.argmin(masked).astype(jnp.int32)
+            delta = masked[j1]
+            # used columns: raise u of their matched row, lower v; others: shrink minv
+            u = u.at[p].add(jnp.where(used, delta, 0.0))
+            v = jnp.where(used, v - delta, v)
+            minv = jnp.where(used, minv, minv - delta)
+            return u, v, p, minv, way, used, j1
+
+        u, v, p, minv, way, used, j0 = jax.lax.while_loop(
+            path_cond, path_body, (u, v, p, minv, way, used, j0)
+        )
+
+        def aug_cond(state):
+            p, j0 = state
+            return j0 != 0
+
+        def aug_body(state):
+            p, j0 = state
+            j1 = way[j0]
+            p = p.at[j0].set(p[j1])
+            return p, j1
+
+        p, _ = jax.lax.while_loop(aug_cond, aug_body, (p, j0))
+        return u, v, p
+
+    u0 = jnp.zeros((n + 1,), jnp.float32)
+    v0 = jnp.zeros((m + 1,), jnp.float32)
+    p0 = jnp.zeros((m + 1,), jnp.int32)
+    _, _, p = jax.lax.fori_loop(0, n, row_body, (u0, v0, p0))
+
+    # invert: row_to_col[p[j]-1] = j-1 for matched columns j>=1.  Unmatched
+    # columns (p[j] == 0) are routed to index n, which mode="drop" discards —
+    # NOT -1, which jax .at[] would wrap around to row n-1.
+    rows = jnp.where(p[1:] > 0, p[1:] - 1, n)
+    vals = jnp.arange(m, dtype=jnp.int32)
+    row_to_col = jnp.zeros((n,), jnp.int32).at[rows].set(vals, mode="drop")
+    return row_to_col
+
+
+@partial(jax.jit, static_argnames=())
+def hungarian_assignment_jax(cost: jnp.ndarray, target_mask: jnp.ndarray) -> jnp.ndarray:
+    """Exact optimal assignment computed entirely on device.
+
+    Same contract as :func:`hungarian_assignment`: cost (B, Q, T) float,
+    target_mask (B, T) bool with valid targets anywhere; returns (B, Q) int32
+    assigned column per query, -1 for unmatched queries.  Invalid target
+    columns are replaced by one shared large constant, which preserves the
+    optimal sub-assignment on the valid columns (all dummies cost the same, so
+    minimizing the padded total minimizes the real matched cost).
+    """
+    cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
+    b, q, t = cost.shape
+    # per-batch dummy cost well above any real entry (scale-aware, not 1e9:
+    # huge pads destroy float32 precision in the potentials)
+    finite = jnp.where(target_mask[:, None, :], cost, 0.0)
+    pad = jnp.max(jnp.abs(finite), axis=(1, 2), keepdims=True) * 4.0 + 1e3
+    cost = jnp.where(target_mask[:, None, :], cost, pad)
+    if q > t:  # pad dummy columns so every row can be assigned
+        extra = jnp.broadcast_to(pad, (b, q, q - t))
+        cost = jnp.concatenate([cost, extra], axis=-1)
+    assign = jax.vmap(_lap_single)(cost)  # (B, Q)
+    in_range = assign < t
+    valid = jnp.take_along_axis(
+        target_mask, jnp.clip(assign, 0, t - 1), axis=-1
+    ) & in_range
+    return jnp.where(valid, assign, -1).astype(jnp.int32)

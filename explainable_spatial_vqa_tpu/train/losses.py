@@ -8,7 +8,8 @@
   L1+GIoU regression with confidence BCE (weight 5.0) + for token-branch
   samples a value-token CE (weight 1.0).  Matching cost
   ``l1_w*L1 + giou_w*(1-GIoU) - conf_w*log(s)`` with assignments computed
-  exactly on host (10x10 — tiny) or via on-device Sinkhorn.
+  exactly on device (in-jit Jonker-Volgenant, the default), exactly on host
+  (scipy callback, legacy), or via on-device Sinkhorn relaxation.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ from explainable_spatial_vqa_tpu.core.config import ExecutorConfig
 from explainable_spatial_vqa_tpu.ops.matching import (
     box_giou,
     hungarian_assignment,
+    hungarian_assignment_jax,
     pairwise_giou,
     pairwise_l1,
     sinkhorn_assignment,
@@ -83,11 +85,13 @@ def executor_set_loss(
     cost = jax.lax.stop_gradient(cost)
     matcher = config.matcher
     if matcher == "auto":
-        # host callbacks are unsupported on some TPU runtimes (and slow on
-        # all of them); exact Hungarian only where the host is close
-        matcher = "hungarian" if jax.default_backend() == "cpu" else "sinkhorn"
-    if matcher == "hungarian":
-        assign = hungarian_assignment(cost, target_box_mask)  # (B, Q), -1 = unmatched
+        # exact Hungarian fully in-jit: works on every backend (no host
+        # callback) and closes the Sinkhorn accuracy gap on TPU
+        matcher = "hungarian_jax"
+    if matcher == "hungarian_jax":
+        assign = hungarian_assignment_jax(cost, target_box_mask)  # (B, Q), -1 = unmatched
+    elif matcher == "hungarian":
+        assign = hungarian_assignment(cost, target_box_mask)  # host callback (legacy)
     else:
         assign = sinkhorn_assignment(
             cost, target_box_mask,

@@ -231,8 +231,12 @@ def main():
         "training losses (Hungarian set matching included), cached decoding,",
         "vectorized chained inference, and the eval suite — working together.",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "DEMO.md"), "w") as f:
+    out_path = os.environ.get(
+        "DEMO_OUT",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "DEMO.md"),
+    )
+    with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
 
