@@ -78,7 +78,8 @@ def cmd_extract_features(args: argparse.Namespace) -> None:
                        "(features will not match the reference numerically)")
     extract_features(paths, args.output_h5_file, model=model, variables=variables,
                      batch_size=args.batch_size,
-                     size=(args.image_height, args.image_width))
+                     size=(args.image_height, args.image_width),
+                     resize=args.resize)
     logger.info("wrote %s (%d images)", args.output_h5_file, len(paths))
 
 
@@ -679,6 +680,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--torch-weights", default=None,
                    help="path to torchvision resnet101 .pth for numeric parity")
+    p.add_argument("--resize", choices=["device", "pil"], default="device",
+                   help="device = jax cubic fused into the jitted forward; "
+                        "pil = host PIL BICUBIC + uint8 requantization "
+                        "(bit-matches the reference preprocessing)")
     p.set_defaults(fn=cmd_extract_features)
 
     p = sub.add_parser("export-scenes")

@@ -76,6 +76,20 @@ def _decode(path: str) -> np.ndarray:
     return np.asarray(img, np.uint8)
 
 
+def _decode_resize_pil(path: str, size: Tuple[int, int]) -> np.ndarray:
+    """Reference-exact decode+resize: PIL BICUBIC on uint8, re-quantized to
+    uint8 by PIL (extract_features.py:104-111).  Use for byte-level feature
+    parity with the reference .h5 artifacts; the device resize (jax cubic on
+    float) is the default fast path."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    img = img.resize((size[1], size[0]), Image.BICUBIC)  # PIL takes (W, H)
+    return np.asarray(img, np.uint8)
+
+
 def extract_features(
     image_paths: Sequence[str],
     output_h5: str,
@@ -84,10 +98,14 @@ def extract_features(
     batch_size: int = 128,
     decode_workers: int = 8,
     size: Tuple[int, int] = (224, 224),
+    resize: str = "device",
 ) -> None:
     """Stream features for ``image_paths`` into ``output_h5``.
 
     Host decode runs in a thread pool overlapping the device forward.
+    ``resize``: "device" (jax cubic, fused into the jitted forward — fast) or
+    "pil" (host PIL BICUBIC with uint8 re-quantization — bit-matches the
+    reference preprocessing, extract_features.py:104-111).
     """
     if model is None:
         model = ResNetFeatures()
@@ -95,13 +113,19 @@ def extract_features(
         dummy = jnp.zeros((1, size[0], size[1], 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), dummy)
     extract = make_extract_fn(model, variables, size)
+    if resize == "pil":
+        decode = lambda p: _decode_resize_pil(p, size)  # noqa: E731
+    elif resize == "device":
+        decode = _decode
+    else:
+        raise ValueError(f"unknown resize mode {resize!r} (device|pil)")
 
     with FeatureWriter(output_h5, total=len(image_paths)) as writer:
         with ThreadPoolExecutor(decode_workers) as pool:
             pending = None
             for start in range(0, len(image_paths), batch_size):
                 chunk = image_paths[start : start + batch_size]
-                decoded = list(pool.map(_decode, chunk))
+                decoded = list(pool.map(decode, chunk))
                 batch = np.stack(decoded)
                 feats = extract(jnp.asarray(batch))
                 if pending is not None:

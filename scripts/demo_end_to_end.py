@@ -21,6 +21,11 @@ import jax
 
 if os.environ.get("DEMO_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
+if os.environ.get("DEMO_MATMUL_PRECISION"):
+    # TPU matmuls default to bf16 passes; "highest" forces f32 accumulation
+    # so the training trajectory matches CPU
+    jax.config.update("jax_default_matmul_precision",
+                      os.environ["DEMO_MATMUL_PRECISION"])
 
 import jax.numpy as jnp
 import numpy as np

@@ -99,6 +99,133 @@ def test_bottleneck_matches_torch():
     np.testing.assert_allclose(out_nchw, ref, atol=2e-5)
 
 
+def _torch_resnet101_stage3(torch, seed=0):
+    """Torch mirror of torchvision resnet101 truncated after layer3, with
+    torchvision-compatible state-dict keys (torchvision itself is not in the
+    image; this reproduces its exact bottleneck-v1.5 structure: stride on the
+    3x3 conv, downsample at every stage's block 0 — reference build_model,
+    extract_features.py:25-48)."""
+    nn = torch.nn
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, mid, cout, stride):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, mid, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(mid)
+            self.conv2 = nn.Conv2d(mid, mid, 3, stride=stride, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(mid)
+            self.conv3 = nn.Conv2d(mid, cout, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            identity = x if self.downsample is None else self.downsample(x)
+            h = torch.relu(self.bn1(self.conv1(x)))
+            h = torch.relu(self.bn2(self.conv2(h)))
+            h = self.bn3(self.conv3(h))
+            return torch.relu(h + identity)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            cin, channels = 64, 256
+            for stage, blocks in enumerate((3, 4, 23)):
+                layer = []
+                for b in range(blocks):
+                    layer.append(Bottleneck(
+                        cin if b == 0 else channels, channels // 4, channels,
+                        stride=(1 if stage == 0 else 2) if b == 0 else 1,
+                    ))
+                setattr(self, f"layer{stage + 1}", nn.Sequential(*layer))
+                cin, channels = channels, channels * 2
+
+        def forward(self, x):
+            h = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            return self.layer3(self.layer2(self.layer1(h)))
+
+    torch.manual_seed(seed)
+    net = Net().eval()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, nn.Conv2d):
+                # keep activations tame across 30 residual blocks so the f32
+                # parity comparison is meaningful
+                m.weight.mul_(0.5)
+            elif isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+                m.weight.normal_(1.0, 0.05)
+                m.bias.normal_(0.0, 0.05)
+    return net
+
+
+@pytest.mark.slow
+def test_resnet101_full_network_parity_vs_torch():
+    """End-to-end numeric parity of the whole truncated ResNet-101: random
+    torchvision-layout state dict -> params_from_torch_state_dict -> compare
+    (N, 1024, 14, 14) outputs against the torch forward (round-2 verdict
+    item 3)."""
+    torch = pytest.importorskip("torch")
+    net = _torch_resnet101_stage3(torch)
+
+    x = torch.rand(2, 3, 224, 224)
+    with torch.no_grad():
+        ref = net(x).numpy()
+
+    variables = params_from_torch_state_dict(net.state_dict())
+    model = ResNetFeatures()
+    out = jax.jit(model.apply)(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    out_nchw = np.asarray(out).transpose(0, 3, 1, 2)
+
+    assert out_nchw.shape == ref.shape == (2, 1024, 14, 14)
+    scale = np.abs(ref).max()
+    diff = np.abs(out_nchw - ref).max()
+    assert diff <= 1e-4 * max(scale, 1.0), (diff, scale)
+
+
+def test_resize_parity_pil_vs_device():
+    """PIL BICUBIC (reference, uint8-requantized) vs jax.image.resize cubic on
+    a real-sized 480x320 -> 224x224 downscale.  Documents the delta between
+    the fast device path and the bit-exact host path; the 'pil' mode must
+    match the reference preprocessing exactly."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, (320, 480, 3), np.uint8)
+    img = Image.fromarray(arr)
+
+    # reference pathway: uint8 PIL bicubic (W, H) order, stays uint8
+    ref = np.asarray(img.resize((224, 224), Image.BICUBIC), np.uint8)
+
+    # our host 'pil' mode must be byte-identical
+    import tempfile
+
+    from explainable_spatial_vqa_tpu.vision.extract import _decode_resize_pil
+
+    with tempfile.NamedTemporaryFile(suffix=".png") as f:
+        img.save(f.name)
+        ours = _decode_resize_pil(f.name, (224, 224))
+    np.testing.assert_array_equal(ours, ref)
+
+    # device pathway: float cubic resize; measure the delta (documented in
+    # DESIGN.md; PIL's fixed-support bicubic does not antialias the way the
+    # scale-aware jax kernel does, so a bounded difference is expected)
+    dev = np.asarray(jax.image.resize(
+        jnp.asarray(arr, jnp.float32)[None], (1, 224, 224, 3), method="cubic"
+    ))[0]
+    delta = np.abs(dev - ref.astype(np.float32))
+    # sanity bound only — the authoritative parity path is resize="pil"
+    assert delta.mean() < 32.0, delta.mean()
+
+
 def test_extract_pipeline(tmp_path):
     from PIL import Image
 
