@@ -648,6 +648,50 @@ def cmd_inspect(args: argparse.Namespace) -> None:
         f.visititems(show)
 
 
+def cmd_cogent_protocol(args: argparse.Namespace) -> None:
+    """Run the four-cell CoGenT A->B protocol end-to-end on synthetic data
+    (thesis §4.2.2 / Table 4.6; BASELINE.md CoGenT table)."""
+    import json
+
+    from explainable_spatial_vqa_tpu.evalsuite.cogent import run_cogent_protocol
+
+    result = run_cogent_protocol(
+        num_scenes_a=args.scenes_a,
+        num_scenes_val=args.scenes_val,
+        num_scenes_b_pool=args.scenes_b_pool,
+        questions_per_scene=args.questions_per_scene,
+        gen_steps=args.gen_steps,
+        exe_steps=args.exe_steps,
+        ft_steps=args.ft_steps,
+        finetune_images=args.finetune_images,
+        finetune_questions=args.finetune_questions,
+        noise=args.noise,
+        drop=args.drop,
+        seed=args.seed,
+    )
+    report = result["report"]
+    print(report.report())
+    print()
+    print(f"{'cell':<24}{'overall':>9}{'count':>9}{'exist':>9}"
+          f"{'cmp_num':>9}{'cmp_attr':>9}{'query':>9}")
+    for cell, acc in result["by_type"].items():
+        print(f"{cell:<24}"
+              f"{acc['overall']:>9.3f}{acc.get('count', float('nan')):>9.3f}"
+              f"{acc.get('exist', float('nan')):>9.3f}"
+              f"{acc.get('compare_number', float('nan')):>9.3f}"
+              f"{acc.get('compare_attribute', float('nan')):>9.3f}"
+              f"{acc.get('query_attribute', float('nan')):>9.3f}")
+    if args.output_json:
+        payload = {
+            "four_cell": report.as_dict(),
+            "by_type": result["by_type"],
+            "sizes": result["sizes"],
+        }
+        with open(args.output_json, "w") as f:
+            json.dump(payload, f, indent=2)
+        logger.info("wrote %s", args.output_json)
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="explainable_spatial_vqa_tpu")
     parser.add_argument(
@@ -777,6 +821,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("file")
     p.add_argument("-n", type=int, default=2)
     p.set_defaults(fn=cmd_inspect)
+
+    p = sub.add_parser(
+        "cogent-protocol",
+        help="four-cell CoGenT A->B protocol on synthetic data "
+             "(train A -> eval A/B -> fine-tune on B subset -> re-eval)")
+    p.add_argument("--scenes_a", type=int, default=80)
+    p.add_argument("--scenes_val", type=int, default=20)
+    p.add_argument("--scenes_b_pool", type=int, default=40)
+    p.add_argument("--questions_per_scene", type=int, default=6)
+    p.add_argument("--gen_steps", type=int, default=400)
+    p.add_argument("--exe_steps", type=int, default=500)
+    p.add_argument("--ft_steps", type=int, default=150)
+    p.add_argument("--finetune_images", type=int, default=3000,
+                   help="thesis: 3000 (scaled down automatically by pool size)")
+    p.add_argument("--finetune_questions", type=int, default=30000,
+                   help="thesis: 30000")
+    p.add_argument("--noise", type=float, default=0.0)
+    p.add_argument("--drop", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output_json", default=None)
+    p.set_defaults(fn=cmd_cogent_protocol)
 
     return parser
 

@@ -18,7 +18,13 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["COGENT_A_PALETTE", "COGENT_B_PALETTE", "finetune_subset", "CoGenTReport"]
+__all__ = [
+    "COGENT_A_PALETTE",
+    "COGENT_B_PALETTE",
+    "finetune_subset",
+    "CoGenTReport",
+    "run_cogent_protocol",
+]
 
 COGENT_A_PALETTE = {
     "cube": {"gray", "blue", "brown", "yellow"},
@@ -76,3 +82,132 @@ class CoGenTReport:
             f" (zero-shot); A {fmt(d['valA_finetuned_on_B'])} /"
             f" B {fmt(d['valB_finetuned_on_B'])} (fine-tuned on B)"
         )
+
+
+def run_cogent_protocol(
+    num_scenes_a: int = 80,
+    num_scenes_val: int = 20,
+    num_scenes_b_pool: int = 40,
+    questions_per_scene: int = 6,
+    gen_steps: int = 400,
+    exe_steps: int = 500,
+    ft_steps: int = 150,
+    finetune_images: int = 3000,
+    finetune_questions: int = 30000,
+    noise: float = 0.0,
+    drop: float = 0.0,
+    seed: int = 0,
+    max_chain_steps: int = 8,
+) -> Dict:
+    """Execute the full four-cell CoGenT protocol end-to-end (thesis §4.2.2 /
+    Table 4.6): train generator+executor on condition A, evaluate on valA and
+    valB zero-shot, fine-tune on the ``finetune_subset`` slice of B, and
+    re-evaluate both vals.
+
+    The corpus is synthetic (clevr/synthetic.py, CoGenT-conditioned palettes)
+    because the sandbox has no CLEVR download, but every learned component and
+    both training/eval paths are the production ones.  The thesis defaults are
+    3000 images / 30000 questions for the fine-tune slice; pass smaller values
+    for scaled-down runs.
+
+    Returns {"report": CoGenTReport, "by_type": {cell: acc-dict},
+    "tallies": {cell: FaithfulnessTally}, "sizes": {...}}.
+    """
+    from explainable_spatial_vqa_tpu.clevr import annotate as ann
+    from explainable_spatial_vqa_tpu.clevr import synthetic as syn
+    from explainable_spatial_vqa_tpu.clevr.scenes import Scene
+    from explainable_spatial_vqa_tpu.core import vocab as voc
+    from explainable_spatial_vqa_tpu.train.synthetic_protocol import (
+        evaluate_pipeline_synthetic,
+        train_executor_synthetic,
+        train_generator_synthetic,
+    )
+
+    # --- corpora: disjoint image-index ranges share one feature array ---
+    base_val_a = num_scenes_a
+    base_val_b = base_val_a + num_scenes_val
+    base_ft_b = base_val_b + num_scenes_val
+    train_a_scenes, train_a_q = syn.synthesize_cogent_dataset(
+        num_scenes_a, questions_per_scene, "A", seed=seed)
+    val_a_scenes, val_a_q = syn.synthesize_cogent_dataset(
+        num_scenes_val, questions_per_scene, "A", seed=seed + 1,
+        image_index_base=base_val_a)
+    val_b_scenes, val_b_q = syn.synthesize_cogent_dataset(
+        num_scenes_val, questions_per_scene, "B", seed=seed + 2,
+        image_index_base=base_val_b)
+    ft_b_scenes, ft_b_q = syn.synthesize_cogent_dataset(
+        num_scenes_b_pool, questions_per_scene, "B", seed=seed + 3,
+        image_index_base=base_ft_b)
+
+    all_scenes = train_a_scenes + val_a_scenes + val_b_scenes + ft_b_scenes
+    features = np.stack([
+        syn.scene_feature_map(s).reshape(64, -1).T for s in all_scenes
+    ]).astype(np.float32)
+
+    # vocab over the union, as the reference builds vocab.json over all splits
+    all_q = train_a_q + val_a_q + val_b_q + ft_b_q
+    clevr_vocab = voc.build_clevr_vocab([all_q])
+
+    def annotate(questions, scenes_raw):
+        scenes = {s["image_index"]: Scene.from_raw(s) for s in scenes_raw}
+        return ann.annotate_questions(questions, scenes)
+
+    train_a_ann = annotate(train_a_q, train_a_scenes)
+    ft_b_ann = annotate(ft_b_q, ft_b_scenes)
+    split_vocab = voc.build_split_vocab(train_a_ann + ft_b_ann)
+
+    # --- phase 1: train on A ---
+    generator, gen_vars, gen_cfg, _ = train_generator_synthetic(
+        train_a_q, clevr_vocab, steps=gen_steps, seed=seed)
+    executor, exe_vars, exe_cfg, _ = train_executor_synthetic(
+        train_a_ann, split_vocab, features, steps=exe_steps, seed=seed,
+        noise=noise, drop=drop)
+
+    def evaluate(questions):
+        return evaluate_pipeline_synthetic(
+            generator, gen_vars, executor, exe_vars, exe_cfg,
+            questions, features, clevr_vocab, split_vocab,
+            max_steps=max_chain_steps)
+
+    tally_a0, acc_a0 = evaluate(val_a_q)
+    tally_b0, acc_b0 = evaluate(val_b_q)
+
+    # --- phase 2: fine-tune on the B subset (thesis: 3k images / 30k qs) ---
+    ft_img_idx = np.asarray([q["image_index"] for q in ft_b_q])
+    ft_idx = finetune_subset(ft_img_idx, finetune_images, finetune_questions,
+                             seed=42)
+    ft_q = [ft_b_q[i] for i in ft_idx]
+    ft_ann = [ft_b_ann[i] for i in ft_idx]
+
+    generator, gen_vars, gen_cfg, _ = train_generator_synthetic(
+        ft_q, clevr_vocab, steps=ft_steps, seed=seed + 10,
+        config=gen_cfg, init_variables=gen_vars)
+    executor, exe_vars, exe_cfg, _ = train_executor_synthetic(
+        ft_ann, split_vocab, features, steps=ft_steps, seed=seed + 10,
+        noise=noise, drop=drop, config=exe_cfg, init_variables=exe_vars)
+
+    tally_a1, acc_a1 = evaluate(val_a_q)
+    tally_b1, acc_b1 = evaluate(val_b_q)
+
+    report = CoGenTReport(
+        a_zero_shot=acc_a0["overall"],
+        b_zero_shot=acc_b0["overall"],
+        a_finetuned=acc_a1["overall"],
+        b_finetuned=acc_b1["overall"],
+    )
+    return {
+        "report": report,
+        "by_type": {
+            "valA_no_finetune": acc_a0, "valB_no_finetune": acc_b0,
+            "valA_finetuned_on_B": acc_a1, "valB_finetuned_on_B": acc_b1,
+        },
+        "tallies": {
+            "valA_no_finetune": tally_a0, "valB_no_finetune": tally_b0,
+            "valA_finetuned_on_B": tally_a1, "valB_finetuned_on_B": tally_b1,
+        },
+        "sizes": {
+            "train_a_questions": len(train_a_q),
+            "val_questions": len(val_a_q),
+            "finetune_questions": len(ft_q),
+        },
+    }

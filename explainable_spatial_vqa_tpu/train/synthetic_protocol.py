@@ -1,0 +1,223 @@
+"""Reusable train/eval building blocks for the synthetic end-to-end protocols.
+
+Factored out of ``scripts/demo_end_to_end.py`` so the CoGenT four-cell
+protocol (thesis §4.2.2 / Table 4.6; reference has no runnable equivalent —
+its CoGenT rows are thesis numbers) and the standard demo share one
+implementation: generator teacher-forced training, executor set-loss training
+(optionally warm-started for fine-tuning), and the full
+generate→parse→execute→tally evaluation pass.
+
+These run the *real* production components (ProgramGenerator,
+ProgramExecutor, executor_set_loss, ExecutorChainRunner, InferencePipeline) —
+only the corpus is synthetic, because the sandbox has no CLEVR download.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from explainable_spatial_vqa_tpu.core.artifacts import encode_questions
+from explainable_spatial_vqa_tpu.core.config import ExecutorConfig, GeneratorConfig
+from explainable_spatial_vqa_tpu.core.vocab import canonicalize, invert_vocab
+from explainable_spatial_vqa_tpu.evalsuite.accuracy import answer_accuracy_by_type
+from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+from explainable_spatial_vqa_tpu.infer.pipeline import InferencePipeline
+from explainable_spatial_vqa_tpu.models.executor import ProgramExecutor
+from explainable_spatial_vqa_tpu.models.generator import ProgramGenerator
+from explainable_spatial_vqa_tpu.train import datasets as ds
+from explainable_spatial_vqa_tpu.train.losses import (
+    cross_entropy,
+    executor_set_loss,
+    perturb_input_boxes,
+)
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "train_generator_synthetic",
+    "train_executor_synthetic",
+    "evaluate_pipeline_synthetic",
+]
+
+
+def train_generator_synthetic(
+    questions: List[dict],
+    vocab: Dict,
+    steps: int = 400,
+    batch_size: int = 64,
+    learning_rate: float = 2e-3,
+    seed: int = 0,
+    config: Optional[GeneratorConfig] = None,
+    init_variables: Optional[Dict] = None,
+):
+    """Teacher-forced generator training on encoded synthetic questions.
+
+    Pass ``config`` + ``init_variables`` to fine-tune an existing model
+    (CoGenT phase 2) instead of training from scratch."""
+    enc = encode_questions(questions, vocab)
+    q, p = enc.questions, enc.programs
+    cfg = config or GeneratorConfig(
+        vocab_size=int(q.max()) + 1, program_vocab_size=int(p.max()) + 1,
+        embed_dim=64, hidden_dim=128, encoder_layers=1, decoder_layers=1,
+        dropout=0.0, program_len=p.shape[1],
+    )
+    model = ProgramGenerator(cfg)
+    if init_variables is None:
+        variables = model.init(
+            {"params": jax.random.PRNGKey(seed), "sample": jax.random.PRNGKey(seed + 1)},
+            jnp.asarray(q[:2]), jnp.asarray(p[:2]),
+        )
+    else:
+        variables = init_variables
+    params, tx = variables["params"], optax.adam(learning_rate)
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(seed)
+
+    @jax.jit
+    def step(params, opt_state, qb, pb):
+        def loss_fn(pr):
+            out = model.apply({"params": pr}, qb, pb, deterministic=True,
+                              teacher_forcing=1.0)
+            return cross_entropy(out["logits"], pb)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = jnp.zeros(())
+    take = min(batch_size, len(q))
+    for _ in range(steps):
+        idx = rng.choice(len(q), take, replace=False)
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(q[idx]),
+                                       jnp.asarray(p[idx]))
+    return model, {"params": params}, cfg, float(loss)
+
+
+def train_executor_synthetic(
+    annotated: List[dict],
+    vocabs: Dict,
+    features: np.ndarray,
+    steps: int = 500,
+    batch_size: int = 64,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+    noise: float = 0.0,
+    drop: float = 0.0,
+    sinkhorn_tau: float = 1.0,
+    sinkhorn_iters: int = 20,
+    config: Optional[ExecutorConfig] = None,
+    init_variables: Optional[Dict] = None,
+    log_every: int = 100,
+):
+    """Thesis-executor set-loss training over flattened annotation steps.
+
+    Pass ``config`` + ``init_variables`` to fine-tune (CoGenT phase 2)."""
+    cfg = config or ExecutorConfig(
+        vocab_size=len(vocabs["function"]) + 1,
+        d_model=96, num_heads=4, encoder_layers=2, box_decoder_layers=1,
+        num_queries=8, num_image_tokens=196, image_feature_dim=64,
+        max_input_boxes=8, token_classes=len(vocabs["other"]) + 1,
+        dropout=0.0,
+        input_box_noise=noise, input_box_drop=drop,
+        sinkhorn_tau=sinkhorn_tau, sinkhorn_iters=sinkhorn_iters,
+    )
+    arrays = ds.executor_step_arrays(
+        annotated, vocabs["function"], vocabs["other"],
+        max_input_boxes=cfg.max_input_boxes, max_output_boxes=cfg.num_queries,
+    )
+    images = features[arrays["image_index"]]
+    model = ProgramExecutor(cfg)
+    if init_variables is None:
+        variables = model.init(
+            jax.random.PRNGKey(seed), jnp.asarray(images[:2]),
+            jnp.asarray(arrays["input_boxes"][:2]), jnp.asarray(arrays["input_box_mask"][:2]),
+            jnp.asarray(arrays["text"][:2]), jnp.asarray(arrays["text_mask"][:2]),
+        )
+    else:
+        variables = init_variables
+    params, tx = variables["params"], optax.adam(learning_rate)
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(seed)
+    n = len(arrays["text"])
+    noise_key = jax.random.PRNGKey(123)
+
+    @jax.jit
+    def step(params, opt_state, it, image, boxes, bmask, text, tmask,
+             tgt_boxes, tgt_mask, tok_tgt, is_box):
+        if cfg.input_box_noise > 0.0 or cfg.input_box_drop > 0.0:
+            # derive the key inside the jit: per-iteration eager PRNG ops
+            # interleaved with jitted steps can deadlock the CPU client
+            boxes, bmask = perturb_input_boxes(
+                boxes, bmask, jax.random.fold_in(noise_key, it),
+                cfg.input_box_noise, cfg.input_box_drop,
+            )
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, image, boxes, bmask, text, tmask)
+            return executor_set_loss(out, tgt_boxes, tgt_mask, tok_tgt, is_box, cfg)["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = jnp.zeros(())
+    take = min(batch_size, n)
+    for it in range(steps):
+        idx = rng.choice(n, take, replace=False)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(it, jnp.int32),
+            jnp.asarray(images[idx]),
+            jnp.asarray(arrays["input_boxes"][idx]),
+            jnp.asarray(arrays["input_box_mask"][idx]),
+            jnp.asarray(arrays["text"][idx]),
+            jnp.asarray(arrays["text_mask"][idx]),
+            jnp.asarray(arrays["target_boxes"][idx]),
+            jnp.asarray(arrays["target_box_mask"][idx]),
+            jnp.asarray(arrays["token_target"][idx]),
+            jnp.asarray(arrays["is_box_branch"][idx]),
+        )
+        if log_every and (it + 1) % log_every == 0:
+            logger.info("executor step %d/%d loss %.4f", it + 1, steps, float(loss))
+    return model, {"params": params}, cfg, float(loss)
+
+
+def evaluate_pipeline_synthetic(
+    generator: ProgramGenerator,
+    gen_vars: Dict,
+    executor: ProgramExecutor,
+    exe_vars: Dict,
+    exe_cfg: ExecutorConfig,
+    eval_questions: List[dict],
+    features: np.ndarray,
+    clevr_vocab: Dict,
+    split_vocab: Dict,
+    max_steps: int = 8,
+) -> Tuple[object, Dict[str, float]]:
+    """Full generate→parse→chained-execute→answer pass.
+
+    Returns (FaithfulnessTally, accuracy-by-type dict)."""
+    enc_eval = encode_questions(eval_questions, clevr_vocab)
+    program_inv = invert_vocab(clevr_vocab["program_token_to_idx"])
+    answer_inv = invert_vocab(clevr_vocab["answer_token_to_idx"])
+    runner = ExecutorChainRunner(executor, exe_vars, exe_cfg, max_steps=max_steps)
+    pipeline = InferencePipeline(
+        generator, gen_vars, runner, program_inv, split_vocab["function"]
+    )
+    gt_value_ids = np.asarray([
+        split_vocab["other"].get(canonicalize(answer_inv.get(int(a), "")), -2)
+        for a in enc_eval.answers
+    ])
+    result = pipeline.run(
+        enc_eval.questions, features, enc_eval.image_idxs,
+        gt_answers=gt_value_ids, gt_programs=enc_eval.programs,
+    )
+    final_functions = [q["program"][-1]["function"] for q in eval_questions]
+    pred = np.where(result.answer_valid, result.answers, -1)
+    acc = answer_accuracy_by_type(pred, gt_value_ids, final_functions)
+    return result.tally, acc

@@ -1,0 +1,50 @@
+"""End-to-end CoGenT four-cell protocol (evalsuite.cogent.run_cogent_protocol).
+
+Round-2 verdict item 4: the A->B generalization-gap measurement machinery must
+actually run — train on condition A, eval valA/valB, fine-tune on the B
+subset, re-eval — not just format hardcoded thesis numbers.
+"""
+
+import numpy as np
+import pytest
+
+from explainable_spatial_vqa_tpu.evalsuite.cogent import (
+    COGENT_A_PALETTE,
+    COGENT_B_PALETTE,
+    run_cogent_protocol,
+)
+
+
+@pytest.mark.slow
+def test_run_cogent_protocol_tiny():
+    result = run_cogent_protocol(
+        num_scenes_a=8, num_scenes_val=3, num_scenes_b_pool=4,
+        questions_per_scene=4, gen_steps=12, exe_steps=12, ft_steps=6,
+        finetune_images=2, finetune_questions=6, seed=0,
+    )
+    report = result["report"]
+    cells = report.as_dict()
+    # all four cells measured (not None), in [0, 1]
+    for name, v in cells.items():
+        assert v is not None, name
+        assert 0.0 <= v <= 1.0, (name, v)
+    # fine-tune slice respected the image/question caps
+    assert result["sizes"]["finetune_questions"] <= 6
+    # by-type dicts carry the standard CLEVR question-type keys
+    for acc in result["by_type"].values():
+        assert "overall" in acc
+    # tallies cover the eval sets
+    t = result["tallies"]["valA_no_finetune"]
+    assert t.total == result["sizes"]["val_questions"]
+
+
+def test_cogent_scene_palettes_disjoint_for_restricted_shapes():
+    # the synthetic CoGenT conditions must actually produce the palette split
+    from explainable_spatial_vqa_tpu.clevr.synthetic import random_scene_cogent
+
+    rng = np.random.RandomState(0)
+    for cond, palette in (("A", COGENT_A_PALETTE), ("B", COGENT_B_PALETTE)):
+        for i in range(20):
+            scene = random_scene_cogent(rng, i, cond)
+            for obj in scene["objects"]:
+                assert obj["color"] in palette[obj["shape"]], (cond, obj)
