@@ -10,10 +10,18 @@ box-set or token output, dependencies threaded through HBM caches).
 ``vs_baseline`` = value / (throughput of the reference *algorithm* — one
 question at a time, one step at a time, batch=1 — measured on CPU, the
 reference's end-to-end deployment mode per BASELINE.md).
+``mfu`` = analytic useful FLOPs (actual chain depths, not padded loop
+iterations) / wall time / chip peak.
 
-Data is synthetic at exact CLEVR shapes (196x1024 features, question len 46,
-chain depth ~10); weights are random — throughput does not depend on weight
-values.  Set BENCH_N / BENCH_BASELINE_N to scale the run.
+Programs are drawn from CLEVR's structural question families (single filter
+chains, relate hops, same-attribute hops, and two-branch attribute/number
+comparisons joined by a 2-input node), with depths up to 27 steps — the
+shapes of the real question distribution (the checked-in fixtures contain a
+depth-11 two-branch greater_than question of exactly this form,
+/root/reference/code/examples/CLEVR_train_questions_first.json) — executed
+depth-bucketed so short programs do not pay for deep loop tails.  Weights
+are random — throughput does not depend on weight values.  Set BENCH_N /
+BENCH_BASELINE_N to scale the run.
 """
 
 from __future__ import annotations
@@ -60,8 +68,90 @@ def build_pipeline(force_fp32: bool = False):
     return generator, gen_vars, gen_cfg, executor, exe_vars, exe_cfg
 
 
-def synth_questions(n, exe_cfg, max_steps=10, seed=0):
-    """CLEVR-shaped synthetic eval set: features + questions + chains."""
+_FN_IDS = {}
+
+
+def _fid(name: str) -> int:
+    if name not in _FN_IDS:
+        _FN_IDS[name] = len(_FN_IDS) + 1
+    return _FN_IDS[name]
+
+
+def _clevr_branch(rng, allow_hops=True):
+    """One CLEVR filter chain as [(fn, dep0, dep1)] with local indices.
+
+    scene -> 1-3 filters, optionally extended by a relate or same_* hop
+    (unique -> hop -> 1-2 more filters), as in CLEVR's question grammar."""
+    attrs = ("size", "color", "material", "shape")
+    nodes = [("scene", -1, -1)]
+    for _ in range(rng.randint(1, 4)):
+        nodes.append((f"filter_{attrs[rng.randint(4)]}", len(nodes) - 1, -1))
+    hops = 0
+    if allow_hops:
+        hops = int(rng.rand() < 0.6) + int(rng.rand() < 0.25)  # 0, 1 or 2 hops
+    for _ in range(hops):
+        hop = "relate" if rng.rand() < 0.7 else f"same_{attrs[rng.randint(4)]}"
+        nodes.append(("unique", len(nodes) - 1, -1))
+        nodes.append((hop, len(nodes) - 1, -1))
+        for _ in range(rng.randint(1, 3)):
+            nodes.append((f"filter_{attrs[rng.randint(4)]}", len(nodes) - 1, -1))
+    return nodes
+
+
+def _clevr_program(rng):
+    """A structurally-CLEVR program as [(fn, dep0, dep1)].
+
+    Families + weights approximate the CLEVR question-type mix
+    (query/exist/count/compare-attribute/compare-number); two-branch compares
+    produce the 2-input DAG joins (equal_*/greater/less) that the fixture
+    question exhibits."""
+    attrs = ("size", "color", "material", "shape")
+    fam = rng.choice(
+        ["query", "exist", "count", "compare_attr", "compare_num"],
+        p=[0.35, 0.15, 0.15, 0.20, 0.15],
+    )
+    if fam in ("query", "exist", "count"):
+        nodes = _clevr_branch(rng)
+        if fam == "query":
+            nodes.append(("unique", len(nodes) - 1, -1))
+            nodes.append((f"query_{attrs[rng.randint(4)]}", len(nodes) - 1, -1))
+        else:
+            nodes.append((fam, len(nodes) - 1, -1))
+        return nodes
+    # two-branch comparisons
+    b1 = _clevr_branch(rng)
+    b2 = _clevr_branch(rng)
+    nodes = list(b1)
+    off = len(nodes)
+
+    def shift(node):
+        fn, d0, d1 = node
+        return (fn, d0 + off if d0 >= 0 else -1, d1 + off if d1 >= 0 else -1)
+
+    nodes += [shift(nd) for nd in b2]
+    if fam == "compare_num":
+        # count each branch, then compare
+        nodes.append(("count", len(b1) - 1, -1))
+        c1 = len(nodes) - 1
+        nodes.append(("count", off + len(b2) - 1, -1))
+        c2 = len(nodes) - 1
+        cmp_fn = ["greater_than", "less_than", "equal_integer"][rng.randint(3)]
+        nodes.append((cmp_fn, c1, c2))
+    else:
+        attr = attrs[rng.randint(4)]
+        nodes.append(("unique", len(b1) - 1, -1))
+        nodes.append((f"query_{attr}", len(nodes) - 1, -1))
+        q1 = len(nodes) - 1
+        nodes.append(("unique", off + len(b2) - 1, -1))
+        nodes.append((f"query_{attr}", len(nodes) - 1, -1))
+        q2 = len(nodes) - 1
+        nodes.append((f"equal_{attr}", q1, q2))
+    return nodes
+
+
+def synth_questions(n, exe_cfg, max_steps=27, seed=0):
+    """CLEVR-shaped synthetic eval set: features + questions + chains with
+    the real question families' depth distribution and DAG shapes."""
     from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
 
     rng = np.random.RandomState(seed)
@@ -72,17 +162,62 @@ def synth_questions(n, exe_cfg, max_steps=10, seed=0):
     questions = rng.randint(4, 96, (n, 46)).astype(np.int32)
     functions = np.zeros((n, max_steps), np.int32)
     deps = np.full((n, max_steps, 2), -1, np.int64)
-    num_steps = rng.randint(max_steps - 3, max_steps + 1, n).astype(np.int32)
+    num_steps = np.zeros(n, np.int32)
     for i in range(n):
-        s = num_steps[i]
-        functions[i, :s] = rng.randint(1, 40, s)
-        for k in range(1, s):
-            deps[i, k, 0] = k - 1
-            if rng.rand() < 0.2 and k >= 2:
-                deps[i, k, 1] = rng.randint(0, k - 1)
+        nodes = _clevr_program(rng)
+        while len(nodes) > max_steps:
+            nodes = _clevr_program(rng)
+        num_steps[i] = len(nodes)
+        for k, (fn, d0, d1) in enumerate(nodes):
+            functions[i, k] = _fid(fn)
+            deps[i, k, 0] = d0
+            deps[i, k, 1] = d1
     image_index = rng.randint(0, num_images, n).astype(np.int32)
     chains = ChainArrays(image_index, functions, deps, num_steps, [""] * n)
     return features, questions, chains
+
+
+def analytic_flops_per_question(gen_cfg, exe_cfg, q_len=46, steps=1):
+    """Forward FLOPs (2*MACs, matmul terms only) for one question with
+    ``steps`` executed chain steps.  Elementwise/softmax/LN terms are omitted
+    (<2% at these shapes), so this slightly UNDER-counts — mfu is
+    conservative."""
+    h, e = gen_cfg.hidden_dim, gen_cfg.embed_dim
+    # encoder: bi-LSTM, layer 0 input e, upper layers input 2h
+    lstm = lambda cin: 2 * 4 * h * (cin + h)  # noqa: E731
+    enc_step = 2 * (lstm(e) + (gen_cfg.encoder_layers - 1) * lstm(2 * h))
+    # decoder: layer 0 input e, upper layers input h; + output projection
+    dec_step = (
+        lstm(e) + (gen_cfg.decoder_layers - 1) * lstm(h)
+        + 2 * h * gen_cfg.program_vocab_size
+        + 2 * 2 * q_len * h  # Luong dot-product scores + context
+    )
+    gen_flops = q_len * enc_step + gen_cfg.program_len * dec_step
+
+    d = exe_cfg.d_model
+    L = 1 + exe_cfg.num_image_tokens + exe_cfg.max_input_boxes + 3
+    ffn = 4 * d
+    enc_layer = (
+        4 * 2 * L * d * d        # qkvo projections
+        + 2 * 2 * L * L * d      # scores + apply
+        + 2 * 2 * L * d * ffn    # feed-forward
+    )
+    Q = exe_cfg.num_queries
+    dec_layer = (
+        4 * 2 * Q * d * d        # self-attn qkvo
+        + 2 * 2 * Q * Q * d
+        + 2 * 2 * Q * d * d      # cross q + out
+        + 2 * 2 * L * d * d      # cross k + v over memory
+        + 2 * 2 * Q * L * d      # cross scores + apply
+        + 2 * 2 * Q * d * ffn
+    )
+    per_step = (
+        exe_cfg.encoder_layers * enc_layer
+        + exe_cfg.box_decoder_layers * dec_layer
+        + 2 * exe_cfg.max_input_boxes * d * (4 + d)  # box MLP
+    )
+    precompute = 2 * exe_cfg.num_image_tokens * exe_cfg.image_feature_dim * d
+    return gen_flops + precompute + steps * per_step
 
 
 def run_vectorized(n, batch, device):
@@ -94,7 +229,6 @@ def run_vectorized(n, batch, device):
     generator, gen_vars, gen_cfg, executor, exe_vars, exe_cfg = build_pipeline()
     features, questions, chains = synth_questions(n, exe_cfg)
     max_steps = chains.functions.shape[1]
-    runner = ExecutorChainRunner(executor, exe_vars, exe_cfg, max_steps=max_steps)
 
     generate = jax.jit(
         lambda q: generator.apply(gen_vars, q, method=generator.generate)
@@ -113,14 +247,40 @@ def run_vectorized(n, batch, device):
 
     gather = jax.jit(lambda idx: jnp.take(features_dev, idx, axis=0))
 
+    # Depth buckets: one compiled chain loop per ceiling depth, so a 5-step
+    # query never pays for a 27-step comparison's loop tail.  Bucket batches
+    # are padded to full `batch` (repeating indices) to keep shapes static.
+    bucket_edges = (8, 12, 16, 20, max_steps)
+    num_steps_np = np.asarray(chains.num_steps)
+    runners = {}
+    plan = []  # (runner, device index array (padded), real count)
+    assigned = np.zeros(n, bool)
+    for depth in bucket_edges:
+        select = (~assigned) & (num_steps_np <= depth)
+        assigned |= select
+        idx = np.flatnonzero(select)
+        if idx.size == 0:
+            continue
+        runners[depth] = ExecutorChainRunner(
+            executor, exe_vars, exe_cfg, max_steps=depth
+        )
+        for start in range(0, idx.size, batch):
+            part = idx[start : start + batch]
+            real = part.size
+            if real < batch:  # pad to static batch shape
+                part = np.concatenate([part, np.repeat(part[-1], batch - real)])
+            plan.append((depth, jax.device_put(jnp.asarray(part)), real))
+
     def run_all():
         outs = []
-        for start in range(0, n, batch):
-            sel = slice(start, start + batch)
-            programs = generate(questions_dev[sel])
-            img = gather(image_index_dev[sel])
-            state = runner._run(
-                img, functions_dev[sel], deps_dev[sel], num_steps_dev[sel]
+        for depth, sel, _real in plan:
+            programs = generate(jnp.take(questions_dev, sel, axis=0))
+            img = gather(jnp.take(image_index_dev, sel, axis=0))
+            state = runners[depth]._run(
+                img,
+                jnp.take(functions_dev, sel, axis=0)[:, :depth],
+                jnp.take(deps_dev, sel, axis=0)[:, :depth],
+                jnp.take(num_steps_dev, sel, axis=0),
             )
             outs.append((programs, state))
         # materialize the final answers on host (the deliverable)
@@ -133,7 +293,18 @@ def run_vectorized(n, batch, device):
         t0 = time.perf_counter()
         run_all()
         best = min(best, time.perf_counter() - t0)
-    return n / best
+
+    useful_flops = sum(
+        analytic_flops_per_question(gen_cfg, exe_cfg, steps=int(s))
+        for s in num_steps_np
+    )
+    stats = {
+        "mean_chain_depth": float(num_steps_np.mean()),
+        "max_chain_depth": int(num_steps_np.max()),
+        "useful_flops_per_question": useful_flops / n,
+        "flops_per_sec": useful_flops / best,
+    }
+    return n / best, stats
 
 
 def run_reference_style(n_questions, device):
@@ -201,15 +372,26 @@ def run_reference_style(n_questions, device):
     return n_questions / dt
 
 
+_PEAK_BF16_TFLOPS = {"v4": 275.0, "v5e": 197.0, "v5p": 459.0, "v6e": 918.0}
+
+
+def chip_peak_flops() -> float:
+    """bf16 peak of the chip under test (TFLOP/s), env-overridable."""
+    if os.environ.get("BENCH_PEAK_TFLOPS"):
+        return float(os.environ["BENCH_PEAK_TFLOPS"]) * 1e12
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    return _PEAK_BF16_TFLOPS.get(gen, 197.0) * 1e12
+
+
 def main():
     import jax
 
-    n = int(os.environ.get("BENCH_N", "256"))
+    n = int(os.environ.get("BENCH_N", "1024"))
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     baseline_n = int(os.environ.get("BENCH_BASELINE_N", "8"))
 
     default = jax.devices()[0]
-    value = run_vectorized(n, batch, default)
+    value, stats = run_vectorized(n, batch, default)
 
     # reference algorithm on CPU (the reference's deployment mode)
     cpu = jax.devices("cpu")[0] if any(
@@ -219,10 +401,15 @@ def main():
         baseline = run_reference_style(baseline_n, cpu)
 
     print(json.dumps({
-        "metric": "CLEVR val QA pairs/sec/chip end-to-end (generator+executor, synthetic CLEVR shapes)",
+        "metric": "CLEVR val QA pairs/sec/chip end-to-end (generator+executor, "
+                  "CLEVR question-family program shapes, depth-bucketed)",
         "value": round(value, 2),
         "unit": "qa_pairs/sec/chip",
         "vs_baseline": round(value / baseline, 2),
+        "mfu": round(stats["flops_per_sec"] / chip_peak_flops(), 4),
+        "mean_chain_depth": round(stats["mean_chain_depth"], 2),
+        "max_chain_depth": stats["max_chain_depth"],
+        "gflops_per_question": round(stats["useful_flops_per_question"] / 1e9, 2),
     }))
 
 

@@ -177,7 +177,7 @@ def cmd_train(args: argparse.Namespace) -> None:
     config = get_preset(args.preset)
     data_overrides = {}
     for field in ("features_h5", "questions_h5", "annotated_h5", "vocab_json",
-                  "split_vocab_json"):
+                  "split_vocab_json", "image_dir"):
         value = getattr(args, field, None)
         if value:
             data_overrides[field] = value
@@ -692,6 +692,12 @@ def cmd_cogent_protocol(args: argparse.Namespace) -> None:
         logger.info("wrote %s", args.output_json)
 
 
+def _preset_names():
+    from explainable_spatial_vqa_tpu.core.config import PRESETS
+
+    return PRESETS.keys()
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="explainable_spatial_vqa_tpu")
     parser.add_argument(
@@ -750,12 +756,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_annotate)
 
     p = sub.add_parser("train")
-    p.add_argument("--preset", required=True)
+    p.add_argument("--preset", required=True,
+                   help="one of: " + ", ".join(sorted(_preset_names())))
     p.add_argument("--features_h5")
     p.add_argument("--questions_h5")
     p.add_argument("--annotated_h5")
     p.add_argument("--vocab_json")
     p.add_argument("--split_vocab_json")
+    p.add_argument("--image_dir", help="raw PNGs (yolo_bb preset)")
     p.add_argument("--subset_fraction", type=float, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--checkpoint_dir", default=None)
@@ -763,6 +771,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_test", action="store_true")
     p.add_argument("--plot", default=None)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("presets", help="list training presets")
+    p.set_defaults(fn=lambda a: print("\n".join(sorted(_preset_names()))))
 
     p = sub.add_parser("eval-iqap")
     p.add_argument("--questions_h5", required=True)

@@ -21,6 +21,7 @@ __all__ = [
     "IQAPConfig",
     "LstmIQAPConfig",
     "StepSeq2SeqConfig",
+    "PrototypeStepConfig",
     "TrainConfig",
     "ExperimentConfig",
     "PRESETS",
@@ -38,6 +39,7 @@ class DataConfig:
     string_vocab_json: str = "data/string_vocab.json"
     vocab_json: str = "data/vocab.json"
     split_vocab_json: str = "data/vocab3.json"
+    image_dir: str = ""  # raw PNGs for the from-pixels YOLO variant
     max_question_len: int = 46
     max_program_len: int = 27
     max_src_len: int = 50
@@ -177,6 +179,52 @@ class StepSeq2SeqConfig:
 
 
 @dataclass(frozen=True)
+class PrototypeStepConfig:
+    """One config for the reference's prototype per-step model families
+    (preprocess_scenes/training_*.py, inference_bbinout.py):
+
+    - ``token_only``   — TokenOnlyPredictor (training_token_only.py:135-304)
+    - ``bb_only``      — BBoxOnlyPredictor, positional box regression
+                         (training_bb_only.py; iou_weight>0 = v2's +IoU loss)
+    - ``multitask_bb`` — MultiTaskBBoxTokenPredictor + set-matching loss
+                         (training_bb_and_tokensv2-1_hungarian.py:231-372)
+    - ``selection``    — BBoxSelectionPredictor, per-input-box membership
+                         (inference_bbinout.py:104-195)
+    - ``multihead``    — MultiHeadStepModel, 8 typed heads + AR box decoder
+                         (training2.py:288-433)
+    - ``hierarchical`` — HierarchicalGenerator (training.py:105-224)
+    - ``yolo``         — YoloDetector from raw pixels + grid loss
+                         (training_bb_onlyv3.py:53-208)
+    """
+
+    kind: str = "token_only"
+    function_vocab_size: int = 64
+    token_vocab_size: int = 64
+    vocab_size: int = 64  # multihead text vocab
+    max_input_boxes: int = 18
+    max_output_boxes: int = 10
+    image_feature_dim: int = 1024
+    image_spatial: Tuple[int, int] = (14, 14)
+    num_image_tokens: int = 196
+    iou_weight: float = 0.0  # bb_only v2: + iou_weight * (1 - IoU)
+    # multitask_bb set loss (duck-typed into train.losses.executor_set_loss)
+    matcher: str = "sinkhorn"  # the reference script's own relaxation
+    sinkhorn_iters: int = 20
+    sinkhorn_tau: float = 1.0
+    cost_l1: float = 5.0
+    cost_giou: float = 2.0
+    cost_conf: float = 1.0
+    routing_weight: float = 1.0
+    bbox_weight: float = 1.0
+    token_weight: float = 1.0
+    input_box_noise: float = 0.0
+    input_box_drop: float = 0.0
+    # yolo
+    grid: int = 7
+    image_size: int = 224
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     batch_size: int = 16
     num_epochs: int = 100
@@ -281,6 +329,28 @@ def _preset_map() -> Dict[str, ExperimentConfig]:
         optim=OptimConfig(learning_rate=1e-4),
         train=TrainConfig(batch_size=32, num_epochs=10),
     )
+
+    # Prototype step-model families (preprocess_scenes/training_*.py) — each
+    # reference trainer as a preset over the shared annotated-step arrays.
+    def proto(name, kind, lr=1e-3, bs=32, epochs=10, clip=None, **kw):
+        presets[name] = ExperimentConfig(
+            name=name,
+            model_family="prototype_step",
+            model=PrototypeStepConfig(kind=kind, **kw),
+            optim=OptimConfig(learning_rate=lr, grad_clip_norm=clip),
+            train=TrainConfig(batch_size=bs, num_epochs=epochs, patience=3),
+        )
+
+    proto("token_only", "token_only", lr=1e-3)          # training_token_only.py
+    proto("bb_only", "bb_only")                          # training_bb_only.py (v1)
+    proto("bb_only_iou", "bb_only", iou_weight=1.0)      # training_bb_onlyv2.py
+    proto("yolo_bb", "yolo", lr=1e-4)                    # training_bb_onlyv3.py
+    proto("multitask_bb", "multitask_bb", lr=1e-3)       # hungarian/sinkhorn script
+    proto("bbinout", "selection", lr=1e-3)               # inference_bbinout.py
+    # lr 1e-4 + clipping: the flattened-image Dense (200k fan-in) diverges
+    # at 1e-3 on random features
+    proto("multihead", "multihead", lr=1e-4, clip=1.0)   # training2.py
+    proto("hierarchical", "hierarchical", lr=1e-3)       # training.py
     return presets
 
 

@@ -146,11 +146,23 @@ def executor_step_arrays(
         "input_box_mask": [], "target_boxes": [], "target_box_mask": [],
         "token_target": [], "is_box_branch": [],
     }
+    # The CLI's `annotate` writes vocab-converted records into the h5 (id
+    # strings, reference apply_vocab semantics) with raw text only in
+    # --raw_json; accept both forms.  Converted functions are bare id digits;
+    # converted token outputs are ids EXCEPT numerics, which apply_split_vocab
+    # passes through verbatim (preprocess_continousv3.py:316-337).
+    inv_function = {v: k for k, v in function_vocab.items()}
 
     for q in annotated_questions:
         step_outputs: List[Tuple[str, Any]] = []  # (kind, value) per step
         for step in q["annotated_program"]:
             function = step["function"]
+            converted = False
+            if function not in function_vocab and function.strip().isdigit():
+                fid = int(function)
+                if fid in inv_function:
+                    function = inv_function[fid]
+                    converted = True
             base = function.split("[")[0]
             is_box = base not in NON_SPATIAL_FUNCTIONS
             out_text = step["output_values"].strip()
@@ -171,16 +183,24 @@ def executor_step_arrays(
             if is_box:
                 target = parse_boxes(out_text)
                 step_outputs.append(("box", target))
+                token_id = -1
             else:
                 # raw annotations carry python reprs ("True"); the vocab is
-                # canonicalized (true/false), so canonicalize before lookup
-                token_id = value_vocab.get(canonicalize(out_text), -1)
+                # canonicalized (true/false), so canonicalize before lookup.
+                # Converted records hold id digits — except count outputs,
+                # whose numerals pass through conversion verbatim and resolve
+                # through the vocab like raw records.
+                can = canonicalize(out_text)
+                if converted and base != "count" and can.isdigit():
+                    token_id = int(can)
+                else:
+                    token_id = value_vocab.get(can, -1)
                 step_outputs.append(("token", token_id))
 
             # build the record (skip degenerate steps)
             if is_box and len(parse_boxes(out_text)) == 0 and out_text == "":
                 continue
-            if not is_box and value_vocab.get(canonicalize(out_text), -1) < 0:
+            if not is_box and token_id < 0:
                 continue
 
             text = [function_vocab.get(function, 0)] + dep_tokens[:2]
@@ -205,7 +225,7 @@ def executor_step_arrays(
             else:
                 t_pad = np.zeros((max_output_boxes, 4), np.float32)
                 t_mask = np.zeros(max_output_boxes, bool)
-                token_target = value_vocab[canonicalize(out_text)]
+                token_target = token_id
 
             records["image_index"].append(q["image_index"])
             records["text"].append(text)
@@ -272,3 +292,100 @@ def chain_arrays(
             for d, dep in enumerate(step.get("inputs", [])[:2]):
                 deps[i, s, d] = dep
     return ChainArrays(image_index, functions, deps, num_steps, answers)
+
+
+# ---------------------------------------------------------------------------
+# Prototype step-model targets (derived from executor_step_arrays output)
+# ---------------------------------------------------------------------------
+
+MULTIHEAD_HEADS = (
+    "bbox", "integer", "boolean", "size", "color", "shape", "material", "vocab"
+)
+
+_BOOLEAN_BASES = {
+    "exist", "equal_color", "equal_shape", "equal_size", "equal_material",
+    "equal_integer", "less_than", "greater_than",
+}
+_ATTR_HEAD = {
+    "query_size": ("size", ("large", "small")),
+    "query_color": ("color", ("gray", "red", "blue", "green", "brown",
+                              "purple", "cyan", "yellow")),
+    "query_shape": ("shape", ("cube", "sphere", "cylinder")),
+    "query_material": ("material", ("rubber", "metal")),
+}
+
+
+def multihead_typed_targets(
+    arrays: Dict[str, np.ndarray],
+    function_vocab: Mapping[str, int],
+    value_vocab: Mapping[str, int],
+) -> Dict[str, np.ndarray]:
+    """Per-record routing + typed-class targets for the 8-head step model
+    (training2.py:356-433 dispatches the loss by function output type).
+
+    Returns head_id (N,) int32 (index into MULTIHEAD_HEADS) and typed_target
+    (N,) int32 (class within that head; 0 for the bbox head)."""
+    inv_f = {v: k for k, v in function_vocab.items()}
+    inv_v = {v: k for k, v in value_vocab.items()}
+    fids = arrays["text"][:, 0]
+    n = len(fids)
+    head_id = np.zeros(n, np.int32)
+    typed = np.zeros(n, np.int32)
+    for i in range(n):
+        if arrays["is_box_branch"][i]:
+            head_id[i] = MULTIHEAD_HEADS.index("bbox")
+            continue
+        base = inv_f.get(int(fids[i]), "").split("[")[0]
+        value = canonicalize(str(inv_v.get(int(arrays["token_target"][i]), "")))
+        if base == "count":
+            head_id[i] = MULTIHEAD_HEADS.index("integer")
+            try:
+                typed[i] = min(max(int(value), 0), 10)
+            except ValueError:
+                typed[i] = 0
+        elif base in _BOOLEAN_BASES:
+            head_id[i] = MULTIHEAD_HEADS.index("boolean")
+            typed[i] = 1 if value == "true" else 0
+        elif base in _ATTR_HEAD:
+            name, classes = _ATTR_HEAD[base]
+            head_id[i] = MULTIHEAD_HEADS.index(name)
+            typed[i] = classes.index(value) if value in classes else 0
+        else:
+            head_id[i] = MULTIHEAD_HEADS.index("vocab")
+            typed[i] = int(arrays["token_target"][i])
+    return {"head_id": head_id, "typed_target": typed}
+
+
+def selection_targets(
+    arrays: Dict[str, np.ndarray], tol: float = 1e-4
+) -> np.ndarray:
+    """Per-input-box membership labels for the bbox-selection predictor:
+    an input box is selected iff it (nearly) equals some output box
+    (inference_bbinout.py:104-113 matches by coordinate equality)."""
+    inp = arrays["input_boxes"]  # (N, S, 4)
+    out = arrays["target_boxes"]  # (N, T, 4)
+    diff = np.abs(inp[:, :, None, :] - out[:, None, :, :]).max(-1)  # (N, S, T)
+    match = (diff < tol) & arrays["target_box_mask"][:, None, :]
+    return (match.any(-1) & arrays["input_box_mask"]).astype(np.float32)
+
+
+def yolo_grid_targets(
+    boxes: np.ndarray, mask: np.ndarray, grid: int = 7
+) -> np.ndarray:
+    """(N, grid, grid, 5) YOLO targets from normalized xyxy box sets: each
+    valid box writes (cx_off, cy_off, w, h, 1) into its center cell
+    (training_bb_onlyv3.py:53-135's grid-target construction)."""
+    n = boxes.shape[0]
+    target = np.zeros((n, grid, grid, 5), np.float32)
+    for i in range(n):
+        for b, valid in zip(boxes[i], mask[i]):
+            if not valid:
+                continue
+            cx = (b[0] + b[2]) * 0.5
+            cy = (b[1] + b[3]) * 0.5
+            col = min(int(cx * grid), grid - 1)
+            row = min(int(cy * grid), grid - 1)
+            target[i, row, col] = (
+                cx * grid - col, cy * grid - row, b[2] - b[0], b[3] - b[1], 1.0
+            )
+    return target

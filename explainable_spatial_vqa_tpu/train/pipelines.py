@@ -398,6 +398,312 @@ def _iqap_cot_pipeline(config: ExperimentConfig) -> Pipeline:
                     ("answer_correct", "answer_total"), spe)
 
 
+class _ImageGather:
+    """Batch transform attaching decoded raw images by image_index (for the
+    from-pixels YOLO variant; training_bb_onlyv3.py trains on images)."""
+
+    def __init__(self, image_dir: str, size: int = 224):
+        from explainable_spatial_vqa_tpu.vision.extract import collect_image_paths
+
+        self.paths = collect_image_paths(image_dir)
+        self.size = size
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def _load(self, idx: int) -> np.ndarray:
+        if idx not in self._cache:
+            from PIL import Image
+
+            img = Image.open(self.paths[idx])
+            if img.mode != "RGB":
+                img = img.convert("RGB")
+            img = img.resize((self.size, self.size), Image.BICUBIC)
+            self._cache[idx] = np.asarray(img, np.float32) / 255.0
+        return self._cache[idx]
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        batch = dict(batch)
+        batch["image"] = np.stack([self._load(int(i)) for i in batch["image_index"]])
+        return batch
+
+
+def _prototype_step_pipeline(config: ExperimentConfig) -> Pipeline:
+    """The reference's prototype per-step trainers as one family
+    (preprocess_scenes/training_*.py, inference_bbinout.py): all consume the
+    flattened annotated-step arrays; `kind` picks model + loss."""
+    from explainable_spatial_vqa_tpu.core.vocab import load_vocab
+    from explainable_spatial_vqa_tpu.models import prototypes as proto
+    from explainable_spatial_vqa_tpu.train.losses import binary_cross_entropy
+
+    annotated = read_annotated_h5(config.data.annotated_h5)
+    vocabs = load_vocab(config.data.split_vocab_json)
+    cfg = config.model
+    import dataclasses as _dc
+
+    cfg = _dc.replace(
+        cfg,
+        function_vocab_size=max(cfg.function_vocab_size, len(vocabs["function"]) + 1),
+        token_vocab_size=max(cfg.token_vocab_size, len(vocabs["other"]) + 1),
+        vocab_size=max(cfg.vocab_size, len(vocabs["other"]) + 1,
+                       len(vocabs["function"]) + 1),
+    )
+    arrays = ds.executor_step_arrays(
+        annotated, vocabs["function"], vocabs["other"],
+        max_input_boxes=cfg.max_input_boxes,
+        max_output_boxes=cfg.max_output_boxes,
+        subset_fraction=config.data.subset_fraction,
+    )
+    kind = cfg.kind
+
+    if kind == "multihead":
+        arrays.update(ds.multihead_typed_targets(arrays, vocabs["function"],
+                                                 vocabs["other"]))
+    if kind == "selection":
+        arrays["selected"] = ds.selection_targets(arrays)
+    if kind == "yolo":
+        arrays["yolo_target"] = ds.yolo_grid_targets(
+            arrays["target_boxes"], arrays["target_box_mask"], cfg.grid)
+
+    # family-appropriate sample filters (the reference trainers slice the
+    # dataset the same way: token_only keeps token steps, bb_only box steps)
+    if kind == "token_only":
+        keep = ~arrays["is_box_branch"]
+    elif kind in ("bb_only", "yolo"):
+        keep = arrays["is_box_branch"]
+    elif kind == "selection":
+        keep = arrays["is_box_branch"] & arrays["input_box_mask"].any(-1)
+    else:
+        keep = np.ones(len(arrays["is_box_branch"]), bool)
+    arrays = {k: v[keep] for k, v in arrays.items()}
+    if len(arrays["is_box_branch"]) < 2:
+        raise ValueError(
+            f"preset kind {kind!r} found {len(arrays['is_box_branch'])} usable "
+            f"step samples in {config.data.annotated_h5} — check that the "
+            f"annotated h5 and --split_vocab_json come from the same annotate "
+            f"run (e.g. `annotate --mode v3 --vocab_output vocab3.json`)"
+        )
+
+    as_tokens = kind != "multihead"  # multihead flattens (C, H, W) directly
+    if kind == "yolo":
+        gather: Any = _ImageGather(config.data.image_dir, cfg.image_size)
+    else:
+        gather = _FeatureGather(config.data.features_h5, as_tokens=as_tokens)
+
+    b2 = lambda k: jnp.asarray(arrays[k][:2])  # noqa: E731
+    rng0 = jax.random.PRNGKey(config.train.seed)
+
+    if kind == "token_only":
+        model = proto.TokenOnlyPredictor(
+            token_vocab_size=cfg.token_vocab_size,
+            function_vocab_size=cfg.function_vocab_size,
+            max_input_boxes=cfg.max_input_boxes)
+        dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
+        variables = model.init(rng0, dummy_img, b2("text")[:, 0], b2("input_boxes"))
+
+        def loss_fn(params, batch, rng, train):
+            logits = model.apply({"params": params}, batch["image"],
+                                 batch["text"][:, 0], batch["input_boxes"])
+            loss = cross_entropy(logits, batch["token_target"])
+            pred = jnp.argmax(logits, -1)
+            return loss, {
+                "token_correct": jnp.sum(pred == batch["token_target"]),
+                "token_total": pred.shape[0],
+            }
+
+        monitor = ("token_correct", "token_total")
+
+    elif kind == "bb_only":
+        model = proto.BBoxOnlyPredictor(
+            max_output_boxes=cfg.max_output_boxes,
+            function_vocab_size=cfg.function_vocab_size,
+            max_input_boxes=cfg.max_input_boxes)
+        dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
+        variables = model.init(rng0, dummy_img, b2("text")[:, 0], b2("input_boxes"))
+
+        def loss_fn(params, batch, rng, train):
+            out = model.apply({"params": params}, batch["image"],
+                              batch["text"][:, 0], batch["input_boxes"])
+            boxes, conf = out[..., :4], out[..., 4]
+            mask = batch["target_box_mask"]
+            mse = jnp.sum(((boxes - batch["target_boxes"]) ** 2)
+                          * mask[..., None]) / jnp.maximum(jnp.sum(mask) * 4, 1.0)
+            conf_loss = jnp.mean(binary_cross_entropy(conf, mask.astype(jnp.float32)))
+            loss = mse + conf_loss
+            from explainable_spatial_vqa_tpu.ops.matching import box_iou
+
+            iou = box_iou(boxes, batch["target_boxes"])
+            if cfg.iou_weight > 0.0:  # v2 (+IoU term)
+                loss = loss + cfg.iou_weight * (
+                    jnp.sum((1.0 - iou) * mask) / jnp.maximum(jnp.sum(mask), 1.0))
+            return loss, {
+                "iou_sum": jnp.sum(iou * mask),
+                "iou_total": jnp.sum(mask),
+            }
+
+        monitor = ("iou_sum", "iou_total")
+
+    elif kind == "multitask_bb":
+        model = proto.MultiTaskBBoxTokenPredictor(
+            max_output_boxes=cfg.max_output_boxes,
+            token_vocab_size=cfg.token_vocab_size,
+            function_vocab_size=cfg.function_vocab_size,
+            max_input_boxes=cfg.max_input_boxes)
+        dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
+        variables = model.init(rng0, dummy_img, b2("text")[:, 0], b2("input_boxes"))
+
+        def loss_fn(params, batch, rng, train):
+            out = model.apply({"params": params}, batch["image"],
+                              batch["text"][:, 0], batch["input_boxes"])
+            losses = executor_set_loss(
+                out, batch["target_boxes"], batch["target_box_mask"],
+                batch["token_target"], batch["is_box_branch"], cfg,
+            )
+            routing_pred = jnp.argmax(out["routing_logits"], -1)
+            routing_target = 1 - batch["is_box_branch"].astype(jnp.int32)
+            return losses["loss"], {
+                "routing_correct": jnp.sum(routing_pred == routing_target),
+                "routing_total": routing_pred.shape[0],
+            }
+
+        monitor = ("routing_correct", "routing_total")
+
+    elif kind == "selection":
+        model = proto.BBoxSelectionPredictor(
+            function_vocab_size=cfg.function_vocab_size,
+            max_input_boxes=cfg.max_input_boxes)
+        dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
+        variables = model.init(rng0, dummy_img, b2("text")[:, 0], b2("input_boxes"))
+
+        def loss_fn(params, batch, rng, train):
+            logits = model.apply({"params": params}, batch["image"],
+                                 batch["text"][:, 0], batch["input_boxes"])
+            mask = batch["input_box_mask"].astype(jnp.float32)
+            bce = binary_cross_entropy(jax.nn.sigmoid(logits), batch["selected"])
+            loss = jnp.sum(bce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+            pred = (logits > 0).astype(jnp.float32)
+            return loss, {
+                "select_correct": jnp.sum((pred == batch["selected"]) * mask),
+                "select_total": jnp.sum(mask),
+            }
+
+        monitor = ("select_correct", "select_total")
+
+    elif kind == "multihead":
+        model = proto.MultiHeadStepModel(
+            vocab_size=cfg.vocab_size,
+            image_feat_dim=cfg.image_feature_dim,
+            image_spatial=tuple(cfg.image_spatial),
+            max_bbox_steps=cfg.max_output_boxes)
+        dummy_img = jnp.zeros((2, cfg.image_feature_dim, *cfg.image_spatial))
+        variables = model.init(
+            {"params": rng0, "sample": jax.random.fold_in(rng0, 1)},
+            b2("text")[:, 0], b2("text")[:, 1:], dummy_img, b2("target_boxes"),
+            deterministic=False)
+
+        def loss_fn(params, batch, rng, train):
+            rngs = {"sample": rng} if train else {}
+            out = model.apply(
+                {"params": params}, batch["text"][:, 0], batch["text"][:, 1:],
+                batch["image"], batch["target_boxes"],
+                deterministic=not train, rngs=rngs)
+            head_id = batch["head_id"]
+            typed = batch["typed_target"]
+            total = jnp.zeros(())
+            # typed heads: CE dispatched per sample by head routing.  Clamp
+            # targets into each head's class range — other heads' targets can
+            # exceed it, and an OOB gather fills NaN which poisons the sum
+            # even at weight 0 (0 * NaN = NaN).
+            for h, name in enumerate(ds.MULTIHEAD_HEADS):
+                if name == "bbox":
+                    continue
+                sel = (head_id == h).astype(jnp.float32)
+                safe_t = jnp.minimum(typed, out[name].shape[-1] - 1)
+                total = total + cross_entropy(out[name], safe_t, label_weights=sel)
+            # bbox branch: masked coordinate MSE + stop CE
+            is_box = (head_id == 0)
+            mask = batch["target_box_mask"] & is_box[:, None]
+            mse = jnp.sum(((out["bbox"] - batch["target_boxes"]) ** 2)
+                          * mask[..., None]) / jnp.maximum(jnp.sum(mask) * 4, 1.0)
+            stop_target = (~batch["target_box_mask"]).astype(jnp.int32)
+            stop_ce = cross_entropy(
+                out["bbox_stop_logits"], stop_target,
+                label_weights=jnp.broadcast_to(is_box[:, None], stop_target.shape
+                                               ).astype(jnp.float32))
+            total = total + mse + stop_ce
+            head_acc_n = jnp.zeros(())
+            head_acc_c = jnp.zeros(())
+            for h, name in enumerate(ds.MULTIHEAD_HEADS):
+                if name == "bbox":
+                    continue
+                sel = head_id == h
+                pred = jnp.argmax(out[name], -1)
+                head_acc_c = head_acc_c + jnp.sum((pred == typed) & sel)
+                head_acc_n = head_acc_n + jnp.sum(sel)
+            return total, {"typed_correct": head_acc_c, "typed_total": head_acc_n}
+
+        monitor = ("typed_correct", "typed_total")
+
+    elif kind == "hierarchical":
+        model = proto.HierarchicalGenerator(
+            num_image_tokens=cfg.num_image_tokens,
+            image_feature_dim=cfg.image_feature_dim,
+            max_inner_steps=cfg.max_output_boxes)
+        dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
+        variables = model.init(rng0, dummy_img, b2("target_boxes"))
+
+        def loss_fn(params, batch, rng, train):
+            out = model.apply({"params": params}, batch["image"],
+                              batch["target_boxes"])
+            is_box = batch["is_box_branch"]
+            type_target = (~is_box).astype(jnp.int32)
+            loss = cross_entropy(out["type_logits"], type_target)
+            mask = batch["target_box_mask"] & is_box[:, None]
+            loss = loss + jnp.sum(((out["pred_boxes"] - batch["target_boxes"]) ** 2)
+                                  * mask[..., None]) / jnp.maximum(jnp.sum(mask) * 4, 1.0)
+            stop_target = (~batch["target_box_mask"]).astype(jnp.float32)
+            stop_bce = binary_cross_entropy(jax.nn.sigmoid(out["stop_logits"]),
+                                            stop_target)
+            box_rows = is_box[:, None].astype(jnp.float32)
+            loss = loss + jnp.sum(stop_bce * box_rows) / jnp.maximum(
+                jnp.sum(box_rows) * stop_target.shape[1], 1.0)
+            value_err = (out["nonspatial_value"]
+                         - batch["token_target"].astype(jnp.float32)) ** 2
+            loss = loss + jnp.sum(value_err * ~is_box) / jnp.maximum(
+                jnp.sum(~is_box), 1.0)
+            type_pred = jnp.argmax(out["type_logits"], -1)
+            return loss, {
+                "type_correct": jnp.sum(type_pred == type_target),
+                "type_total": type_pred.shape[0],
+            }
+
+        monitor = ("type_correct", "type_total")
+
+    elif kind == "yolo":
+        model = proto.YoloDetector(grid=cfg.grid)
+        dummy_img = jnp.zeros((2, cfg.image_size, cfg.image_size, 3))
+        variables = model.init(rng0, dummy_img)
+
+        def loss_fn(params, batch, rng, train):
+            from explainable_spatial_vqa_tpu.models.prototypes import yolo_grid_loss
+
+            pred = model.apply({"params": params}, batch["image"])
+            loss = yolo_grid_loss(pred, batch["yolo_target"])
+            obj = batch["yolo_target"][..., 4] > 0
+            hit = (pred[..., 4] > 0.5) == obj
+            return loss, {
+                "cell_correct": jnp.sum(hit),
+                "cell_total": hit.size,
+            }
+
+        monitor = ("cell_correct", "cell_total")
+
+    else:
+        raise KeyError(f"unknown prototype kind {kind!r}")
+
+    train_b, val_b, test_b, spe = _batch_factories(arrays, config, gather)
+    return Pipeline(model, variables["params"], loss_fn, train_b, val_b, test_b,
+                    monitor, spe)
+
+
 _FAMILIES = {
     "generator": _generator_pipeline,
     "iqap": _iqap_pipeline,
@@ -405,6 +711,7 @@ _FAMILIES = {
     "step_seq2seq": _step_seq2seq_pipeline,
     "iqap_cot": _iqap_cot_pipeline,
     "executor": _executor_pipeline,
+    "prototype_step": _prototype_step_pipeline,
 }
 
 
