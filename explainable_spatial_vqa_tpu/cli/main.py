@@ -352,17 +352,56 @@ def cmd_eval_generator(args: argparse.Namespace) -> None:
             logger.info("restored checkpoint from %s", args.checkpoint_dir)
 
     generate = jax.jit(lambda q: model.apply(variables, q, method=model.generate))
-    outputs = []
-    bs = args.batch_size
-    for start in range(0, len(questions) - len(questions) % bs or bs, bs):
-        chunk = questions[start : start + bs]
-        if len(chunk) < bs:
-            break
-        outputs.append(np.asarray(generate(jnp.asarray(chunk))))
-    if not outputs:
-        outputs.append(np.asarray(generate(jnp.asarray(questions))))
-    pred = np.concatenate(outputs)[: len(programs)]
+
+    def batched(fn):
+        outputs = []
+        bs = args.batch_size
+        for start in range(0, len(questions) - len(questions) % bs or bs, bs):
+            chunk = questions[start : start + bs]
+            if len(chunk) < bs:
+                break
+            outputs.append(np.asarray(fn(jnp.asarray(chunk))))
+        if not outputs:
+            outputs.append(np.asarray(fn(jnp.asarray(questions))))
+        return np.concatenate(outputs)[: len(programs)]
+
+    pred = batched(generate)
     acc = program_accuracy(pred, programs[: len(pred)])
+
+    if args.compare_tf:
+        # teacher-forced decode (gold prefix fed at every step) alongside
+        # greedy, as the reference reports (run_model_lstm_qp.py:277-321)
+        tf_forward = jax.jit(
+            lambda q, p: model.apply(
+                variables, q, p, deterministic=True, teacher_forcing=1.0
+            )["tokens"]
+        )
+        tf_outputs = []
+        bs = args.batch_size
+        for start in range(0, len(questions), bs):
+            chunk_q = questions[start : start + bs]
+            chunk_p = programs[start : start + bs]
+            if len(chunk_q) < bs:
+                break
+            tf_outputs.append(np.asarray(tf_forward(jnp.asarray(chunk_q),
+                                                    jnp.asarray(chunk_p))))
+        if not tf_outputs:  # fewer questions than one batch
+            tf_outputs.append(np.asarray(tf_forward(jnp.asarray(questions),
+                                                    jnp.asarray(programs))))
+        tf_pred = np.concatenate(tf_outputs)
+        acc["teacher_forced"] = program_accuracy(tf_pred, programs[: len(tf_pred)])
+
+    if args.beam_size and args.beam_size > 1:
+        beam = jax.jit(
+            lambda q: model.apply(
+                variables, q, beam_size=args.beam_size, method=model.beam_generate
+            )[0][:, 0]  # best beam
+        )
+        beam_pred = batched(beam)
+        beam_acc = program_accuracy(beam_pred, programs[: len(beam_pred)])
+        beam_acc["beam_size"] = args.beam_size
+        acc["beam"] = beam_acc
+
     print(json.dumps(acc, indent=2))
 
     if args.show and args.vocab_json:
@@ -477,6 +516,50 @@ def cmd_tally(args: argparse.Namespace) -> None:
         pred = np.where(result.answer_valid, result.answers, -1)
         acc = answer_accuracy_by_type(pred, gt_value_ids, final_functions)
         print(json.dumps(acc, indent=2))
+
+    if args.annotated_h5:
+        # Per-step box P/R @ IoU + token accuracy on the executor's PREDICTED
+        # chains (thesis Tables 4.3/4.4 protocol), optionally with F1-max
+        # confidence-threshold calibration applied before the final tally.
+        from explainable_spatial_vqa_tpu.core.artifacts import read_annotated_h5
+        from explainable_spatial_vqa_tpu.evalsuite.executor_eval import (
+            calibrate_chain_conf_threshold,
+            tally_predicted_chains,
+        )
+        from explainable_spatial_vqa_tpu.train.datasets import chain_arrays
+
+        annotated = read_annotated_h5(args.annotated_h5)[:limit]
+        chains = chain_arrays(annotated, split_vocab["function"], max_steps=28)
+        gathered = image_tokens[chains.image_index]
+        run_out = runner.run(gathered, chains)
+        conf_threshold = exe_cfg.conf_threshold
+        if args.calibrate_conf:
+            conf_threshold, f1 = calibrate_chain_conf_threshold(
+                run_out, annotated, split_vocab["function"], value_vocab,
+                iou_threshold=args.iou_threshold,
+            )
+            logger.info("calibrated conf threshold: %.2f (box F1 %.3f)",
+                        conf_threshold, f1)
+            if abs(conf_threshold - exe_cfg.conf_threshold) > 1e-9:
+                # threshold gates box propagation through the chain: re-run
+                calibrated_runner = ExecutorChainRunner(
+                    executor, exe_vars,
+                    dataclasses.replace(exe_cfg, conf_threshold=conf_threshold),
+                    max_steps=28,
+                )
+                run_out = calibrated_runner.run(gathered, chains)
+        step_tally = tally_predicted_chains(
+            run_out, annotated, split_vocab["function"], value_vocab,
+            conf_threshold=conf_threshold, iou_threshold=args.iou_threshold,
+        )
+        print(step_tally.report())
+        payload = {
+            "per_function_box_pr": step_tally.precision_recall(),
+            "per_function_token_acc": step_tally.token_accuracy(),
+            "conf_threshold": conf_threshold,
+            "iou_threshold": args.iou_threshold,
+        }
+        print(json.dumps(payload, indent=2))
 
 
 def cmd_infer_chain(args: argparse.Namespace) -> None:
@@ -793,6 +876,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--show", type=int, default=0)
+    p.add_argument("--beam_size", type=int, default=0,
+                   help=">1: also report best-beam program accuracy")
+    p.add_argument("--compare_tf", action="store_true",
+                   help="also report teacher-forced accuracy "
+                        "(run_model_lstm_qp.py:277-321 comparison)")
     p.set_defaults(fn=cmd_eval_generator)
 
     p = sub.add_parser("tally")
@@ -803,6 +891,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--generator_checkpoint", default=None)
     p.add_argument("--executor_checkpoint", default=None)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--annotated_h5", default=None,
+                   help="also compute per-function box P/R + token accuracy "
+                        "on the executor's predicted chains (Tables 4.3/4.4)")
+    p.add_argument("--iou_threshold", type=float, default=0.5)
+    p.add_argument("--calibrate_conf", action="store_true",
+                   help="F1-max confidence-threshold calibration before the "
+                        "per-step tally")
     p.set_defaults(fn=cmd_tally)
 
     p = sub.add_parser("infer-chain")

@@ -44,6 +44,8 @@ def compact_valid_first(tokens: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.nd
 class ChainState(NamedTuple):
     box_cache: jnp.ndarray  # (N, S, Q, 4)
     box_mask: jnp.ndarray  # (N, S, Q) bool — confident predicted boxes
+    conf_cache: jnp.ndarray  # (N, S, Q) float32 — raw confidences (for
+    # post-hoc threshold calibration, evalsuite.detection)
     token_cache: jnp.ndarray  # (N, S) int32
     token_branch: jnp.ndarray  # (N, S) bool — step produced a token
     routing: jnp.ndarray  # (N, S) int32 — chosen branch per step
@@ -78,6 +80,7 @@ class ExecutorChainRunner:
         state = ChainState(
             box_cache=jnp.zeros((n, s, q, 4), jnp.float32),
             box_mask=jnp.zeros((n, s, q), bool),
+            conf_cache=jnp.zeros((n, s, q), jnp.float32),
             token_cache=jnp.zeros((n, s), jnp.int32),
             token_branch=jnp.zeros((n, s), bool),
             routing=jnp.zeros((n, s), jnp.int32),
@@ -130,6 +133,9 @@ class ExecutorChainRunner:
                     jnp.where(active[:, None, None], out["pred_boxes"], 0.0)
                 ),
                 box_mask=state.box_mask.at[rows, k].set(active[:, None] & conf_mask),
+                conf_cache=state.conf_cache.at[rows, k].set(
+                    jnp.where(active[:, None] & is_box[:, None], out["pred_conf"], 0.0)
+                ),
                 token_cache=state.token_cache.at[rows, k].set(
                     jnp.where(active & ~is_box, pred_token, 0)
                 ),
@@ -156,6 +162,7 @@ class ExecutorChainRunner:
             "final_is_token": np.asarray(state.token_branch)[rows, last],
             "box_cache": np.asarray(state.box_cache),
             "box_mask": np.asarray(state.box_mask),
+            "conf_cache": np.asarray(state.conf_cache),
             "token_cache": np.asarray(state.token_cache),
             "token_branch": np.asarray(state.token_branch),
         }

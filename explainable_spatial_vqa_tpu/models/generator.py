@@ -229,3 +229,83 @@ class ProgramGenerator(nn.Module):
             teacher_forcing=0.0,
         )
         return out["tokens"]
+
+    def beam_generate(
+        self,
+        questions: jnp.ndarray,
+        beam_size: int = 4,
+        max_len: Optional[int] = None,
+        start_token: int = 1,
+        end_token: int = 2,
+        pad_token: int = 0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Beam-search decode fully on device ('beam optional', thesis §3.4.1).
+
+        Returns (tokens (B, K, T), scores (B, K)) sorted best-first.  Same
+        search structure as ops.decoding.beam_search_decode but over LSTM
+        carries instead of transformer KV caches: the decoder carry pytree is
+        tiled to (B*K, ...) and re-gathered along the beam axis each step.
+        """
+        cfg = self.config
+        length = max_len or cfg.program_len
+        k = beam_size
+        enc_outputs, carry = self.encode(questions, True)
+        enc_mask = questions != 0
+        batch = questions.shape[0]
+
+        tile = lambda x: jnp.repeat(x, k, axis=0)  # noqa: E731
+        enc_k = tile(enc_outputs)
+        mask_k = tile(enc_mask)
+        carry = jax.tree_util.tree_map(tile, tuple(carry))
+
+        neg_inf = -1e30
+        scores = jnp.tile(
+            jnp.asarray([0.0] + [neg_inf] * (k - 1), jnp.float32), (batch, 1)
+        )
+        tokens = jnp.full((batch, k), start_token, jnp.int32)
+        finished = jnp.zeros((batch, k), bool)
+
+        def gather_beams(tree, beam_index):
+            flat = (beam_index + jnp.arange(batch)[:, None] * k).reshape(-1)
+            return jax.tree_util.tree_map(lambda leaf: leaf[flat], tree)
+
+        def body(mdl, state, _):
+            carry, scores, tokens, finished = state
+            carry2, logits = mdl._decode_step(
+                carry, tokens.reshape(-1), enc_k, mask_k, True
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            vocab = logp.shape[-1]
+            logp = logp.reshape(batch, k, vocab)
+            pad_only = jnp.full((vocab,), neg_inf).at[pad_token].set(0.0)
+            logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+            total = scores[..., None] + logp
+            top_scores, top_index = jax.lax.top_k(total.reshape(batch, k * vocab), k)
+            beam_index = top_index // vocab
+            token_index = (top_index % vocab).astype(jnp.int32)
+            carry2 = gather_beams(carry2, beam_index)
+            finished = jnp.take_along_axis(finished, beam_index, axis=1)
+            finished = finished | (token_index == end_token)
+            return (carry2, top_scores, token_index, finished), (token_index, beam_index)
+
+        scan = nn.scan(
+            body, variable_broadcast="params", split_rngs={"params": False},
+            length=length, out_axes=0,
+        )
+        (carry, scores, _, _), (step_tokens, step_beams) = scan(
+            self, (carry, scores, tokens, finished), None
+        )
+
+        def backtrack(beam_index, step):
+            toks = jnp.take_along_axis(step_tokens[step], beam_index, axis=1)
+            parents = jnp.take_along_axis(step_beams[step], beam_index, axis=1)
+            return parents, toks
+
+        last = jnp.tile(jnp.arange(k)[None, :], (batch, 1))
+        _, rev_tokens = jax.lax.scan(backtrack, last, jnp.arange(length - 1, -1, -1))
+        out_tokens = jnp.flip(jnp.transpose(rev_tokens, (1, 2, 0)), axis=-1)
+
+        order = jnp.argsort(-scores, axis=-1)
+        scores = jnp.take_along_axis(scores, order, axis=-1)
+        out_tokens = jnp.take_along_axis(out_tokens, order[..., None], axis=1)
+        return out_tokens, scores

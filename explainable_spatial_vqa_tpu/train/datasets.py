@@ -282,13 +282,18 @@ def chain_arrays(
     num_steps = np.zeros(n, np.int32)
     image_index = np.zeros(n, np.int32)
     answers: List[str] = []
+    inv = {v: k for k, v in function_vocab.items()}
     for i, q in enumerate(annotated_questions):
         program = q["annotated_program"][:max_steps]
         num_steps[i] = len(program)
         image_index[i] = q["image_index"]
         answers.append(str(q.get("answer", "")))
         for s, step in enumerate(program):
-            functions[i, s] = function_vocab.get(step["function"], 0)
+            fn = step["function"]
+            if fn not in function_vocab and fn.strip().isdigit() and int(fn) in inv:
+                functions[i, s] = int(fn)  # vocab-converted record: already an id
+            else:
+                functions[i, s] = function_vocab.get(fn, 0)
             for d, dep in enumerate(step.get("inputs", [])[:2]):
                 deps[i, s, d] = dep
     return ChainArrays(image_index, functions, deps, num_steps, answers)

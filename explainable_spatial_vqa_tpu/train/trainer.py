@@ -251,6 +251,11 @@ class Trainer:
     ) -> MetricAccumulator:
         """Evaluate with the best-so-far parameters (the reference reloads the
         best state for its final test pass, train_transformer_iqap.py:523)."""
+        if self.best_params is None:
+            logger.warning(
+                "evaluate_best: no best checkpoint recorded (validation never "
+                "improved or never ran) — evaluating CURRENT params instead"
+            )
         params = self.best_params if self.best_params is not None else self.state.params
         params = jax.device_put(params, self._replicated)
         rng = jax.random.PRNGKey(0) if rng is None else rng

@@ -90,3 +90,37 @@ def test_generator_overfits():
     gen = ProgramGenerator(SIMPLE_CFG).apply({"params": params}, q, method="generate")
     assert float(loss) < 0.1
     np.testing.assert_array_equal(np.asarray(gen), np.asarray(targets))
+
+
+def test_beam_generate_matches_greedy_at_beam1():
+    model = ProgramGenerator(CFG)
+    q = _questions(batch=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        q, jnp.zeros((4, CFG.program_len), jnp.int32),
+    )
+    greedy = np.asarray(model.apply(variables, q, method=model.generate))
+    beam, scores = model.apply(variables, q, beam_size=1, method=model.beam_generate)
+    beam = np.asarray(beam)[:, 0]
+    # identical up to (and including) the first END token; the beam pads after
+    # END while greedy keeps free-running
+    for g, b in zip(greedy, beam):
+        ends = np.flatnonzero(g == 2)
+        stop = (ends[0] + 1) if len(ends) else len(g)
+        np.testing.assert_array_equal(g[:stop], b[:stop])
+        assert (b[stop:] == 0).all()
+
+
+def test_beam_generate_scores_sorted_and_improving():
+    model = ProgramGenerator(CFG)
+    q = _questions(batch=3, seed=5)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(2), "sample": jax.random.PRNGKey(3)},
+        q, jnp.zeros((3, CFG.program_len), jnp.int32),
+    )
+    _, s1 = model.apply(variables, q, beam_size=1, method=model.beam_generate)
+    toks, s4 = model.apply(variables, q, beam_size=4, method=model.beam_generate)
+    s1, s4 = np.asarray(s1), np.asarray(s4)
+    assert toks.shape == (3, 4, CFG.program_len)
+    assert (np.diff(s4, axis=-1) <= 1e-6).all()  # sorted best-first
+    assert (s4[:, 0] >= s1[:, 0] - 1e-5).all()  # wider beam never worse
