@@ -185,8 +185,13 @@ def cmd_train(args: argparse.Namespace) -> None:
         data_overrides["subset_fraction"] = args.subset_fraction
     if data_overrides:
         config = config.replace(data=dataclasses.replace(config.data, **data_overrides))
+    train_overrides = {}
     if args.epochs is not None:
-        config = config.replace(train=dataclasses.replace(config.train, num_epochs=args.epochs))
+        train_overrides["num_epochs"] = args.epochs
+    if args.batch_size is not None:
+        train_overrides["batch_size"] = args.batch_size
+    if train_overrides:
+        config = config.replace(train=dataclasses.replace(config.train, **train_overrides))
 
     pipeline = build_pipeline(config)
     trainer = Trainer(
@@ -333,10 +338,13 @@ def cmd_eval_generator(args: argparse.Namespace) -> None:
     questions, programs = enc.questions[:limit], enc.programs[:limit]
 
     config = get_preset(args.preset)
+    # same max(preset, data) sizing as the training pipeline, so train-time
+    # checkpoints restore with matching shapes
     model_cfg = dataclasses.replace(
         config.model,
-        vocab_size=int(questions.max()) + 1,
-        program_vocab_size=int(programs.max()) + 1,
+        vocab_size=max(config.model.vocab_size, int(questions.max()) + 1),
+        program_vocab_size=max(config.model.program_vocab_size,
+                               int(programs.max()) + 1),
         program_len=programs.shape[1],
     )
     model = ProgramGenerator(model_cfg)
@@ -449,16 +457,23 @@ def cmd_tally(args: argparse.Namespace) -> None:
 
     import dataclasses
 
+    # max(preset, data) sizing — the same formula the training pipelines use,
+    # so checkpoints written by `train` restore with matching shapes here
+    gen_preset = get_preset("generator").model
+    exe_preset = get_preset("executor").model
     gen_cfg = dataclasses.replace(
-        get_preset("generator").model,
-        vocab_size=int(questions.max()) + 1,
-        program_vocab_size=(int(programs.max()) + 1) if programs is not None else 64,
+        gen_preset,
+        vocab_size=max(gen_preset.vocab_size, int(questions.max()) + 1),
+        program_vocab_size=max(
+            gen_preset.program_vocab_size,
+            (int(programs.max()) + 1) if programs is not None else 0,
+        ),
         program_len=programs.shape[1] if programs is not None else 27,
     )
     exe_cfg = dataclasses.replace(
-        get_preset("executor").model,
-        vocab_size=len(split_vocab["function"]) + 1,
-        token_classes=len(value_vocab) + 1,
+        exe_preset,
+        vocab_size=max(exe_preset.vocab_size, len(split_vocab["function"]) + 1),
+        token_classes=max(exe_preset.token_classes, len(value_vocab) + 1),
     )
     generator = ProgramGenerator(gen_cfg)
     executor = ProgramExecutor(exe_cfg)
@@ -849,6 +864,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_dir", help="raw PNGs (yolo_bb preset)")
     p.add_argument("--subset_fraction", type=float, default=None)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--history_json", default=None)
     p.add_argument("--eval_test", action="store_true")

@@ -108,6 +108,8 @@ def _batch_factories(arrays, config, transform=None):
 
 
 def _generator_pipeline(config: ExperimentConfig) -> Pipeline:
+    import dataclasses as _dc
+
     enc = read_questions_h5(config.data.questions_h5)
     assert enc.programs is not None
     arrays = {
@@ -115,6 +117,16 @@ def _generator_pipeline(config: ExperimentConfig) -> Pipeline:
         "programs": enc.programs,
         "image_index": enc.image_idxs,
     }
+    # grow vocab sizes to the data (reference infers shapes from data maxima,
+    # get_data_info); max(preset, data) so eval-side reconstruction matches
+    cfg = _dc.replace(
+        config.model,
+        vocab_size=max(config.model.vocab_size, int(enc.questions.max()) + 1),
+        program_vocab_size=max(config.model.program_vocab_size,
+                               int(enc.programs.max()) + 1),
+        program_len=enc.programs.shape[1],
+    )
+    config = config.replace(model=cfg)
     model = ProgramGenerator(config.model)
     init_rngs = {"params": jax.random.PRNGKey(config.train.seed),
                  "sample": jax.random.PRNGKey(config.train.seed + 1)}
@@ -276,9 +288,15 @@ def _executor_pipeline(config: ExperimentConfig) -> Pipeline:
     """Thesis-final executor on raw annotated questions + split vocab."""
     from explainable_spatial_vqa_tpu.core.vocab import load_vocab
 
+    import dataclasses as _dc
+
     annotated = read_annotated_h5(config.data.annotated_h5)
     vocabs = load_vocab(config.data.split_vocab_json)
-    cfg = config.model
+    cfg = _dc.replace(
+        config.model,
+        vocab_size=max(config.model.vocab_size, len(vocabs["function"]) + 1),
+        token_classes=max(config.model.token_classes, len(vocabs["other"]) + 1),
+    )
     arrays = ds.executor_step_arrays(
         annotated, vocabs["function"], vocabs["other"],
         max_input_boxes=cfg.max_input_boxes,

@@ -343,3 +343,85 @@ def test_cli_visualize(workdir, tmp_path):
     import os
 
     assert os.path.getsize(out) > 0
+
+
+@pytest.mark.slow
+def test_real_fixture_full_chain_trainability(workdir, tmp_path, capsys):
+    """Round-2 verdict item 10: the complete artifact chain on the real CLEVR
+    fixture data — extract real-shape features -> train the THESIS generator
+    and executor presets briefly -> faithfulness tally with per-step box P/R
+    and confidence calibration — all through the CLI, end-to-end."""
+    from PIL import Image
+
+    # one real-sized image for the fixture scene (no CLEVR pixels in the
+    # sandbox; random pixels stand in — shapes and plumbing are what's pinned)
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (320, 480, 3), np.uint8)).save(
+        img_dir / "CLEVR_val_000000.png"
+    )
+    cli_main([
+        "--platform", "cpu", "extract-features",
+        "--input_image_dir", str(img_dir),
+        "--output_h5_file", str(tmp_path / "features_full.h5"),
+        "--batch_size", "1",
+    ])
+    import h5py
+
+    with h5py.File(tmp_path / "features_full.h5") as f:
+        assert f["features"].shape == (1, 1024, 14, 14)  # reference layout
+
+    # v3 annotation artifacts for the executor
+    cli_main([
+        "annotate", "--mode", "v3",
+        "--scenes", str(workdir / "scenes.json"),
+        "--questions", str(workdir / "questions.json"),
+        "--output_h5", str(tmp_path / "annotated_v3.h5"),
+        "--vocab_output", str(tmp_path / "split_vocab.json"),
+    ])
+
+    # brief thesis-preset training for both learned components (batch 8 =
+    # the virtual mesh's data-axis size; the 9 fixture questions are tiled
+    # so the generator gets full batches)
+    rep = json.load(open(workdir / "questions.json"))
+    rep_path = tmp_path / "questions_rep.json"
+    json.dump({"questions": rep["questions"] * 8}, open(rep_path, "w"))
+    cli_main([
+        "preprocess-questions",
+        "--input_questions_json", str(rep_path),
+        "--input_vocab_json", str(workdir / "vocab.json"),
+        "--output_h5_file", str(tmp_path / "questions_rep.h5"),
+    ])
+    cli_main([
+        "--platform", "cpu", "train", "--preset", "generator",
+        "--questions_h5", str(tmp_path / "questions_rep.h5"),
+        "--epochs", "2", "--batch_size", "8",
+        "--checkpoint_dir", str(tmp_path / "gen_ckpt"),
+    ])
+    cli_main([
+        "--platform", "cpu", "train", "--preset", "executor",
+        "--annotated_h5", str(tmp_path / "annotated_v3.h5"),
+        "--split_vocab_json", str(tmp_path / "split_vocab.json"),
+        "--features_h5", str(tmp_path / "features_full.h5"),
+        "--epochs", "1", "--batch_size", "8",
+        "--checkpoint_dir", str(tmp_path / "exe_ckpt"),
+    ])
+
+    # full tally: quadrants + per-step box P/R with calibrated threshold,
+    # restoring both checkpoints (shape-compatible by construction)
+    cli_main([
+        "--platform", "cpu", "tally",
+        "--questions_h5", str(workdir / "questions.h5"),
+        "--features_h5", str(tmp_path / "features_full.h5"),
+        "--vocab_json", str(workdir / "vocab.json"),
+        "--split_vocab_json", str(tmp_path / "split_vocab.json"),
+        "--generator_checkpoint", str(tmp_path / "gen_ckpt"),
+        "--executor_checkpoint", str(tmp_path / "exe_ckpt"),
+        "--annotated_h5", str(tmp_path / "annotated_v3.h5"),
+        "--calibrate_conf",
+    ])
+    out = capsys.readouterr().out
+    assert "correct_program_correct_answer" in out
+    assert "per_function_box_pr" in out
+    assert "conf_threshold" in out
