@@ -230,30 +230,39 @@ def run_vectorized(n, batch, device):
     features, questions, chains = synth_questions(n, exe_cfg)
     max_steps = chains.functions.shape[1]
 
-    generate = jax.jit(
-        lambda q: generator.apply(gen_vars, q, method=generator.generate)
-    )
-
     # Features are cached in HBM once (the thesis image-feature cache; in
     # deployment the extractor writes them straight to device memory) and
     # gathered per batch by index ON DEVICE — re-uploading 100MB of features
-    # per batch over PCIe would dominate everything else.
-    features_dev = jax.device_put(jnp.asarray(features))
+    # per batch over PCIe would dominate everything else.  The upload is
+    # chunked: the axon tunnel rejects single transfers >~100 MB (HTTP 413).
+    def device_put_chunked(arr, chunk_bytes=64 << 20):
+        if arr.nbytes <= chunk_bytes:
+            return jax.device_put(jnp.asarray(arr))
+        rows = max(1, chunk_bytes // max(arr.nbytes // arr.shape[0], 1))
+        parts = [
+            jax.device_put(jnp.asarray(arr[i : i + rows]))
+            for i in range(0, arr.shape[0], rows)
+        ]
+        return jnp.concatenate(parts, axis=0)
+
+    features_dev = device_put_chunked(features)
     questions_dev = jax.device_put(jnp.asarray(questions))
     image_index_dev = jax.device_put(jnp.asarray(chains.image_index))
     functions_dev = jax.device_put(jnp.asarray(chains.functions))
     deps_dev = jax.device_put(jnp.asarray(chains.deps))
     num_steps_dev = jax.device_put(jnp.asarray(chains.num_steps))
 
-    gather = jax.jit(lambda idx: jnp.take(features_dev, idx, axis=0))
-
-    # Depth buckets: one compiled chain loop per ceiling depth, so a 5-step
+    # Depth buckets: one compiled pipeline per ceiling depth, so a 5-step
     # query never pays for a 27-step comparison's loop tail.  Bucket batches
     # are padded to full `batch` (repeating indices) to keep shapes static.
+    # The WHOLE per-batch pipeline (question gather -> program generation ->
+    # feature gather -> chained execution) is one jit per bucket: the axon
+    # dispatch round-trip is ~5.5 ms, so the r1 structure (8 eager/jitted
+    # calls per batch) paid ~40 ms/batch in tunnel latency alone.
     bucket_edges = (8, 12, 16, 20, max_steps)
     num_steps_np = np.asarray(chains.num_steps)
-    runners = {}
-    plan = []  # (runner, device index array (padded), real count)
+    bucket_fns = {}
+    plan = []  # (depth, device index array (padded), real count)
     assigned = np.zeros(n, bool)
     for depth in bucket_edges:
         select = (~assigned) & (num_steps_np <= depth)
@@ -261,9 +270,23 @@ def run_vectorized(n, batch, device):
         idx = np.flatnonzero(select)
         if idx.size == 0:
             continue
-        runners[depth] = ExecutorChainRunner(
-            executor, exe_vars, exe_cfg, max_steps=depth
-        )
+        runner = ExecutorChainRunner(executor, exe_vars, exe_cfg, max_steps=depth)
+
+        def bucket_step(sel, _runner=runner, _depth=depth):
+            q = jnp.take(questions_dev, sel, axis=0)
+            programs = generator.apply(gen_vars, q, method=generator.generate)
+            img = jnp.take(
+                features_dev, jnp.take(image_index_dev, sel, axis=0), axis=0
+            )
+            state = _runner._run_impl(
+                img,
+                jnp.take(functions_dev, sel, axis=0)[:, :_depth],
+                jnp.take(deps_dev, sel, axis=0)[:, :_depth],
+                jnp.take(num_steps_dev, sel, axis=0),
+            )
+            return programs, state
+
+        bucket_fns[depth] = jax.jit(bucket_step)
         for start in range(0, idx.size, batch):
             part = idx[start : start + batch]
             real = part.size
@@ -272,20 +295,10 @@ def run_vectorized(n, batch, device):
             plan.append((depth, jax.device_put(jnp.asarray(part)), real))
 
     def run_all():
-        outs = []
-        for depth, sel, _real in plan:
-            programs = generate(jnp.take(questions_dev, sel, axis=0))
-            img = gather(jnp.take(image_index_dev, sel, axis=0))
-            state = runners[depth]._run(
-                img,
-                jnp.take(functions_dev, sel, axis=0)[:, :depth],
-                jnp.take(deps_dev, sel, axis=0)[:, :depth],
-                jnp.take(num_steps_dev, sel, axis=0),
-            )
-            outs.append((programs, state))
-        # materialize the final answers on host (the deliverable)
-        np.asarray(outs[-1][1].token_cache)
-        return outs
+        outs = [bucket_fns[depth](sel) for depth, sel, _real in plan]
+        # materialize every batch's answer tokens on host (the deliverable;
+        # all dispatches above are async, so transfers overlap execution)
+        return [np.asarray(state.token_cache) for _programs, state in outs]
 
     run_all()  # warmup + compile
     best = float("inf")

@@ -117,6 +117,15 @@ class ExecutorConfig:
     # chained-inference regime).  0 disables (reference-faithful training).
     input_box_noise: float = 0.0
     input_box_drop: float = 0.0
+    # scheduled sampling (chain-level): with probability p, a step's
+    # dependency inputs are drawn from the model's OWN chained predictions
+    # (computed in a stop-gradient pass with current params) instead of the
+    # ground-truth caches; p ramps 0 -> scheduled_p_max linearly over
+    # scheduled_ramp_epochs.  Trains the executor on the distribution it
+    # actually sees at chained inference (beyond the stateless
+    # input_box_noise jitter).  Used by the executor_scheduled preset.
+    scheduled_p_max: float = 0.0
+    scheduled_ramp_epochs: int = 5
     remat: bool = False  # rematerialize fusion blocks (memory vs FLOPs)
 
 
@@ -271,6 +280,14 @@ def _preset_map() -> Dict[str, ExperimentConfig]:
         name="executor",
         model_family="executor",
         model=ExecutorConfig(),
+        optim=OptimConfig(learning_rate=1e-4),
+        train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
+    )
+
+    presets["executor_scheduled"] = ExperimentConfig(
+        name="executor_scheduled",
+        model_family="executor_scheduled",
+        model=ExecutorConfig(scheduled_p_max=0.5, scheduled_ramp_epochs=5),
         optim=OptimConfig(learning_rate=1e-4),
         train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
     )

@@ -26,8 +26,8 @@ import numpy as np
 from explainable_spatial_vqa_tpu.core.config import ExecutorConfig, StepSeq2SeqConfig
 from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
 
-__all__ = ["ExecutorChainRunner", "Seq2SeqChainRunner", "compact_valid_first",
-           "run_bucketed_seq2seq"]
+__all__ = ["ExecutorChainRunner", "Seq2SeqChainRunner", "chained_forward",
+           "compact_valid_first", "run_bucketed_seq2seq"]
 
 
 def compact_valid_first(tokens: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -51,6 +51,119 @@ class ChainState(NamedTuple):
     routing: jnp.ndarray  # (N, S) int32 — chosen branch per step
 
 
+def gather_dep_boxes(state: ChainState, dep: jnp.ndarray):
+    """Gather a dependency's cached box set: (N, Q, 4) boxes + validity."""
+    rows = jnp.arange(state.box_cache.shape[0])
+    safe = jnp.clip(dep, 0, None)
+    boxes = state.box_cache[rows, safe]  # (N, Q, 4)
+    mask = state.box_mask[rows, safe] & (dep >= 0)[:, None]
+    return boxes, mask
+
+
+def gather_dep_token(state: ChainState, dep: jnp.ndarray):
+    """Gather a dependency's cached value token: (N,) token + validity."""
+    rows = jnp.arange(state.token_cache.shape[0])
+    safe = jnp.clip(dep, 0, None)
+    token = state.token_cache[rows, safe]
+    valid = state.token_branch[rows, safe] & (dep >= 0)
+    return jnp.where(valid, token, 0), valid
+
+
+def gather_step_inputs(state: ChainState, func: jnp.ndarray, dep0: jnp.ndarray,
+                       dep1: jnp.ndarray, max_input_boxes: int):
+    """Assemble one chain step's executor inputs from the caches.
+
+    Box sets of both dependencies are concatenated, compacted valid-first and
+    truncated to ``max_input_boxes``; text is [function, dep0 value, dep1
+    value] with positional validity masks."""
+    b0, m0 = gather_dep_boxes(state, dep0)
+    b1, m1 = gather_dep_boxes(state, dep1)
+    all_boxes = jnp.concatenate([b0, b1], axis=1)  # (N, 2Q, 4)
+    all_mask = jnp.concatenate([m0, m1], axis=1)
+    order = jnp.argsort(jnp.logical_not(all_mask), axis=-1, stable=True)
+    all_boxes = jnp.take_along_axis(all_boxes, order[..., None], axis=1)
+    all_mask = jnp.take_along_axis(all_mask, order, axis=1)
+    input_boxes = all_boxes[:, :max_input_boxes]
+    input_mask = all_mask[:, :max_input_boxes]
+
+    t0, v0 = gather_dep_token(state, dep0)
+    t1, v1 = gather_dep_token(state, dep1)
+    text = jnp.stack([func, t0, t1], axis=1)
+    text_mask = jnp.stack([jnp.ones_like(v0), v0, v1], axis=1)
+    return input_boxes, input_mask, text, text_mask
+
+
+def chained_forward(
+    model,
+    variables,
+    image_tokens: jnp.ndarray,  # (N, P, C) raw or (N, 1+P, d) precomputed
+    functions: jnp.ndarray,  # (N, S)
+    deps: jnp.ndarray,  # (N, S, 2)
+    num_steps: jnp.ndarray,  # (N,)
+    cfg: ExecutorConfig,
+    max_steps: int,
+    image_precomputed: bool = False,
+) -> ChainState:
+    """Run the whole-batch chained executor pass (one fori_loop over step
+    positions, HBM caches threaded through).  Shared by the inference runner
+    and scheduled-sampling training (which calls it under stop_gradient to
+    obtain the model's own dependency predictions)."""
+    n = image_tokens.shape[0]
+    s = max_steps
+    q = cfg.num_queries
+    if not image_precomputed:
+        # Project + position the image ONCE per question (thesis image
+        # cache); every chain step below reuses these tokens.
+        image_tokens = model.apply(
+            variables, image_tokens, method=model.precompute_image
+        )
+    state = ChainState(
+        box_cache=jnp.zeros((n, s, q, 4), jnp.float32),
+        box_mask=jnp.zeros((n, s, q), bool),
+        conf_cache=jnp.zeros((n, s, q), jnp.float32),
+        token_cache=jnp.zeros((n, s), jnp.int32),
+        token_branch=jnp.zeros((n, s), bool),
+        routing=jnp.zeros((n, s), jnp.int32),
+    )
+    rows = jnp.arange(n)
+
+    def body(k, state: ChainState) -> ChainState:
+        func = functions[:, k]  # (N,)
+        input_boxes, input_mask, text, text_mask = gather_step_inputs(
+            state, func, deps[:, k, 0], deps[:, k, 1], cfg.max_input_boxes
+        )
+
+        out = model.apply(
+            variables, image_tokens, input_boxes, input_mask, text, text_mask,
+            image_precomputed=True,
+        )
+        is_box = jnp.argmax(out["routing_logits"], axis=-1) == 0  # (N,)
+        pred_token = jnp.argmax(out["token_logits"], axis=-1).astype(jnp.int32)
+        conf_mask = (out["pred_conf"] >= cfg.conf_threshold) & is_box[:, None]
+
+        active = k < num_steps
+
+        state = ChainState(
+            box_cache=state.box_cache.at[rows, k].set(
+                jnp.where(active[:, None, None], out["pred_boxes"], 0.0)
+            ),
+            box_mask=state.box_mask.at[rows, k].set(active[:, None] & conf_mask),
+            conf_cache=state.conf_cache.at[rows, k].set(
+                jnp.where(active[:, None] & is_box[:, None], out["pred_conf"], 0.0)
+            ),
+            token_cache=state.token_cache.at[rows, k].set(
+                jnp.where(active & ~is_box, pred_token, 0)
+            ),
+            token_branch=state.token_branch.at[rows, k].set(active & ~is_box),
+            routing=state.routing.at[rows, k].set(
+                jnp.where(active, (~is_box).astype(jnp.int32), 0)
+            ),
+        )
+        return state
+
+    return jax.lax.fori_loop(0, s, body, state)
+
+
 class ExecutorChainRunner:
     """Chained inference for the thesis-final ProgramExecutor."""
 
@@ -68,85 +181,10 @@ class ExecutorChainRunner:
         deps: jnp.ndarray,  # (N, S, 2)
         num_steps: jnp.ndarray,  # (N,)
     ) -> ChainState:
-        cfg = self.config
-        n = image_tokens.shape[0]
-        s = self.max_steps
-        q = cfg.num_queries
-        # Project + position the image ONCE per question (thesis image cache);
-        # every chain step below reuses these tokens.
-        image_tokens = self.model.apply(
-            self.variables, image_tokens, method=self.model.precompute_image
+        return chained_forward(
+            self.model, self.variables, image_tokens, functions, deps,
+            num_steps, self.config, self.max_steps,
         )
-        state = ChainState(
-            box_cache=jnp.zeros((n, s, q, 4), jnp.float32),
-            box_mask=jnp.zeros((n, s, q), bool),
-            conf_cache=jnp.zeros((n, s, q), jnp.float32),
-            token_cache=jnp.zeros((n, s), jnp.int32),
-            token_branch=jnp.zeros((n, s), bool),
-            routing=jnp.zeros((n, s), jnp.int32),
-        )
-        rows = jnp.arange(n)
-
-        def gather_dep_boxes(state: ChainState, dep: jnp.ndarray):
-            safe = jnp.clip(dep, 0, None)
-            boxes = state.box_cache[rows, safe]  # (N, Q, 4)
-            mask = state.box_mask[rows, safe] & (dep >= 0)[:, None]
-            return boxes, mask
-
-        def gather_dep_token(state: ChainState, dep: jnp.ndarray):
-            safe = jnp.clip(dep, 0, None)
-            token = state.token_cache[rows, safe]
-            valid = state.token_branch[rows, safe] & (dep >= 0)
-            return jnp.where(valid, token, 0), valid
-
-        def body(k, state: ChainState) -> ChainState:
-            func = functions[:, k]  # (N,)
-            dep0, dep1 = deps[:, k, 0], deps[:, k, 1]
-
-            b0, m0 = gather_dep_boxes(state, dep0)
-            b1, m1 = gather_dep_boxes(state, dep1)
-            all_boxes = jnp.concatenate([b0, b1], axis=1)  # (N, 2Q, 4)
-            all_mask = jnp.concatenate([m0, m1], axis=1)
-            order = jnp.argsort(jnp.logical_not(all_mask), axis=-1, stable=True)
-            all_boxes = jnp.take_along_axis(all_boxes, order[..., None], axis=1)
-            all_mask = jnp.take_along_axis(all_mask, order, axis=1)
-            input_boxes = all_boxes[:, : cfg.max_input_boxes]
-            input_mask = all_mask[:, : cfg.max_input_boxes]
-
-            t0, v0 = gather_dep_token(state, dep0)
-            t1, v1 = gather_dep_token(state, dep1)
-            text = jnp.stack([func, t0, t1], axis=1)
-            text_mask = jnp.stack([jnp.ones_like(v0), v0, v1], axis=1)
-
-            out = self.model.apply(
-                self.variables, image_tokens, input_boxes, input_mask, text, text_mask,
-                image_precomputed=True,
-            )
-            is_box = jnp.argmax(out["routing_logits"], axis=-1) == 0  # (N,)
-            pred_token = jnp.argmax(out["token_logits"], axis=-1).astype(jnp.int32)
-            conf_mask = (out["pred_conf"] >= cfg.conf_threshold) & is_box[:, None]
-
-            active = k < num_steps
-
-            state = ChainState(
-                box_cache=state.box_cache.at[rows, k].set(
-                    jnp.where(active[:, None, None], out["pred_boxes"], 0.0)
-                ),
-                box_mask=state.box_mask.at[rows, k].set(active[:, None] & conf_mask),
-                conf_cache=state.conf_cache.at[rows, k].set(
-                    jnp.where(active[:, None] & is_box[:, None], out["pred_conf"], 0.0)
-                ),
-                token_cache=state.token_cache.at[rows, k].set(
-                    jnp.where(active & ~is_box, pred_token, 0)
-                ),
-                token_branch=state.token_branch.at[rows, k].set(active & ~is_box),
-                routing=state.routing.at[rows, k].set(
-                    jnp.where(active, (~is_box).astype(jnp.int32), 0)
-                ),
-            )
-            return state
-
-        return jax.lax.fori_loop(0, s, body, state)
 
     def run(self, image_tokens, chains: ChainArrays) -> Dict[str, np.ndarray]:
         state = self._run(

@@ -226,10 +226,57 @@ class EncoderBlock(nn.Module):
             x = x + self.drop(h, deterministic=deterministic)
             h = self.ffn(self.norm2(x).astype(self.dtype), deterministic)
             return x + self.drop(h, deterministic=deterministic)
+        if self._fused_eligible(deterministic, mask):
+            return self._fused_forward(x, mask)
         h = self.attn(x, x, mask)
         x = self.norm1(x + self.drop(h, deterministic=deterministic)).astype(self.dtype)
         h = self.ffn(x, deterministic)
         return self.norm2(x + self.drop(h, deterministic=deterministic)).astype(self.dtype)
+
+    def _fused_eligible(self, deterministic: bool, mask) -> bool:
+        """Route to the fused Pallas kernel (ops.pallas_block) when it is the
+        measured winner: TPU serving (deterministic, post-LN, bf16 compute,
+        key-padding mask only) with MXU-aligned d_model.  Training and init
+        stay on the XLA path (the kernel defines no VJP; init must create the
+        submodule params)."""
+        if self.is_initializing() or not deterministic:
+            return False
+        from explainable_spatial_vqa_tpu.ops import pallas_block as pb
+
+        if not pb.fused_block_enabled():
+            return False
+        if self.dtype != jnp.bfloat16 and not pb.fused_block_interpret():
+            return False  # fp32 weights overflow the 16 MB VMEM budget
+        if self.d_model % 128 != 0 or (self.d_model // self.num_heads) % 128 != 0:
+            return False
+        return mask is None or (
+            mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1
+        )
+
+    def _fused_forward(self, x: jnp.ndarray, mask) -> jnp.ndarray:
+        from explainable_spatial_vqa_tpu.ops import pallas_block as pb
+
+        batch, length, _ = x.shape
+        key_mask = None if mask is None else mask[:, 0, 0, :]
+        pad = pb.pad_len(length) - length
+        if pad:
+            if key_mask is None:
+                key_mask = jnp.ones((batch, length), bool)
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
+        weights = pb.fuse_encoder_params(self.variables["params"], dtype=self.dtype)
+        x = x.astype(self.dtype)
+        if batch % 2 == 0:
+            y = pb.fused_encoder_block_tiled(
+                x, key_mask, weights, self.num_heads, batch_tile=2,
+                interpret=pb.fused_block_interpret(),
+            )
+        else:
+            y = pb.fused_encoder_block(
+                x, key_mask, weights, self.num_heads,
+                interpret=pb.fused_block_interpret(),
+            )
+        return y[:, :length].astype(self.dtype)
 
 
 class DecoderBlock(nn.Module):

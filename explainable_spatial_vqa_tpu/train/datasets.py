@@ -119,6 +119,86 @@ def parse_boxes(text: str) -> np.ndarray:
     return np.asarray(rows, np.float32)
 
 
+def _parse_question_steps(
+    q: Dict[str, Any],
+    function_vocab: Mapping[str, int],
+    value_vocab: Mapping[str, int],
+) -> List[Dict[str, Any]]:
+    """Parse one annotated question into per-step records (shared by the flat
+    teacher-forced builder and the chain-structured builder).
+
+    The CLI's `annotate` writes vocab-converted records into the h5 (id
+    strings, reference apply_vocab semantics) with raw text only in
+    --raw_json; accept both forms.  Converted functions are bare id digits;
+    converted token outputs are ids EXCEPT numerics, which apply_split_vocab
+    passes through verbatim (preprocess_continousv3.py:316-337).
+
+    ``valid`` marks steps that survive the degenerate-step drop rules; all
+    steps are still parsed so later steps' dependency positions stay correct.
+    """
+    inv_function = {v: k for k, v in function_vocab.items()}
+    step_outputs: List[Tuple[str, Any]] = []  # (kind, value) per step
+    parsed_steps: List[Dict[str, Any]] = []
+    for step in q["annotated_program"]:
+        function = step["function"]
+        converted = False
+        if function not in function_vocab and function.strip().isdigit():
+            fid = int(function)
+            if fid in inv_function:
+                function = inv_function[fid]
+                converted = True
+        base = function.split("[")[0]
+        is_box = base not in NON_SPATIAL_FUNCTIONS
+        out_text = step["output_values"].strip()
+
+        # dependency gathering from previously recorded *ground-truth*
+        # outputs (teacher forcing at the step level, as in training data)
+        dep_boxes: List[np.ndarray] = []
+        dep_tokens: List[int] = []
+        for dep in step.get("inputs", []):
+            if dep >= len(step_outputs):
+                continue
+            kind, value = step_outputs[dep]
+            if kind == "box":
+                dep_boxes.append(value)
+            elif kind == "token" and value >= 0:
+                dep_tokens.append(value)
+
+        target_boxes = np.zeros((0, 4), np.float32)
+        if is_box:
+            target_boxes = parse_boxes(out_text)
+            step_outputs.append(("box", target_boxes))
+            token_id = -1
+        else:
+            # raw annotations carry python reprs ("True"); the vocab is
+            # canonicalized (true/false), so canonicalize before lookup.
+            # Converted records hold id digits — except count outputs,
+            # whose numerals pass through conversion verbatim and resolve
+            # through the vocab like raw records.
+            can = canonicalize(out_text)
+            if converted and base != "count" and can.isdigit():
+                token_id = int(can)
+            else:
+                token_id = value_vocab.get(can, -1)
+            step_outputs.append(("token", token_id))
+
+        valid = not (
+            (is_box and len(target_boxes) == 0 and out_text == "")
+            or (not is_box and token_id < 0)
+        )
+        parsed_steps.append({
+            "function_id": function_vocab.get(function, 0),
+            "is_box": is_box,
+            "inputs": list(step.get("inputs", [])),
+            "dep_boxes": dep_boxes,
+            "dep_tokens": dep_tokens,
+            "target_boxes": target_boxes,
+            "token_id": token_id,
+            "valid": valid,
+        })
+    return parsed_steps
+
+
 def executor_step_arrays(
     annotated_questions: Sequence[Dict[str, Any]],
     function_vocab: Mapping[str, int],
@@ -146,69 +226,18 @@ def executor_step_arrays(
         "input_box_mask": [], "target_boxes": [], "target_box_mask": [],
         "token_target": [], "is_box_branch": [],
     }
-    # The CLI's `annotate` writes vocab-converted records into the h5 (id
-    # strings, reference apply_vocab semantics) with raw text only in
-    # --raw_json; accept both forms.  Converted functions are bare id digits;
-    # converted token outputs are ids EXCEPT numerics, which apply_split_vocab
-    # passes through verbatim (preprocess_continousv3.py:316-337).
-    inv_function = {v: k for k, v in function_vocab.items()}
-
     for q in annotated_questions:
-        step_outputs: List[Tuple[str, Any]] = []  # (kind, value) per step
-        for step in q["annotated_program"]:
-            function = step["function"]
-            converted = False
-            if function not in function_vocab and function.strip().isdigit():
-                fid = int(function)
-                if fid in inv_function:
-                    function = inv_function[fid]
-                    converted = True
-            base = function.split("[")[0]
-            is_box = base not in NON_SPATIAL_FUNCTIONS
-            out_text = step["output_values"].strip()
-
-            # dependency gathering from previously recorded *ground-truth*
-            # outputs (teacher forcing at the step level, as in training data)
-            dep_boxes: List[np.ndarray] = []
-            dep_tokens: List[int] = []
-            for dep in step.get("inputs", []):
-                if dep >= len(step_outputs):
-                    continue
-                kind, value = step_outputs[dep]
-                if kind == "box":
-                    dep_boxes.append(value)
-                elif kind == "token" and value >= 0:
-                    dep_tokens.append(value)
-
-            if is_box:
-                target = parse_boxes(out_text)
-                step_outputs.append(("box", target))
-                token_id = -1
-            else:
-                # raw annotations carry python reprs ("True"); the vocab is
-                # canonicalized (true/false), so canonicalize before lookup.
-                # Converted records hold id digits — except count outputs,
-                # whose numerals pass through conversion verbatim and resolve
-                # through the vocab like raw records.
-                can = canonicalize(out_text)
-                if converted and base != "count" and can.isdigit():
-                    token_id = int(can)
-                else:
-                    token_id = value_vocab.get(can, -1)
-                step_outputs.append(("token", token_id))
-
-            # build the record (skip degenerate steps)
-            if is_box and len(parse_boxes(out_text)) == 0 and out_text == "":
+        for parsed in _parse_question_steps(q, function_vocab, value_vocab):
+            if not parsed["valid"]:
                 continue
-            if not is_box and token_id < 0:
-                continue
-
-            text = [function_vocab.get(function, 0)] + dep_tokens[:2]
+            dep_tokens = parsed["dep_tokens"]
+            text = [parsed["function_id"]] + dep_tokens[:2]
             text_mask = [True] + [True] * len(dep_tokens[:2])
             while len(text) < 3:
                 text.append(0)
                 text_mask.append(False)
 
+            dep_boxes = parsed["dep_boxes"]
             boxes_in = (
                 np.concatenate(dep_boxes, axis=0) if dep_boxes else np.zeros((0, 4), np.float32)
             )[:max_input_boxes]
@@ -216,8 +245,8 @@ def executor_step_arrays(
             in_pad[: len(boxes_in)] = boxes_in
             in_mask = np.arange(max_input_boxes) < len(boxes_in)
 
-            if is_box:
-                target = parse_boxes(out_text)[:max_output_boxes]
+            if parsed["is_box"]:
+                target = parsed["target_boxes"][:max_output_boxes]
                 t_pad = np.zeros((max_output_boxes, 4), np.float32)
                 t_pad[: len(target)] = target
                 t_mask = np.arange(max_output_boxes) < len(target)
@@ -225,7 +254,7 @@ def executor_step_arrays(
             else:
                 t_pad = np.zeros((max_output_boxes, 4), np.float32)
                 t_mask = np.zeros(max_output_boxes, bool)
-                token_target = token_id
+                token_target = parsed["token_id"]
 
             records["image_index"].append(q["image_index"])
             records["text"].append(text)
@@ -235,7 +264,7 @@ def executor_step_arrays(
             records["target_boxes"].append(t_pad)
             records["target_box_mask"].append(t_mask)
             records["token_target"].append(token_target)
-            records["is_box_branch"].append(is_box)
+            records["is_box_branch"].append(parsed["is_box"])
 
     total = len(records["image_index"])
     if subset_fraction < 1.0:
@@ -252,6 +281,83 @@ def executor_step_arrays(
         "is_box_branch": np.asarray(records["is_box_branch"][:total], bool),
     }
     return out
+
+
+def executor_chain_step_arrays(
+    annotated_questions: Sequence[Dict[str, Any]],
+    function_vocab: Mapping[str, int],
+    value_vocab: Mapping[str, int],
+    max_steps: int = 28,
+    max_output_boxes: int = 10,
+    subset_fraction: float = 1.0,
+) -> Dict[str, np.ndarray]:
+    """Chain-structured executor training arrays (one row per QUESTION).
+
+    Unlike ``executor_step_arrays`` (flat teacher-forced step records), this
+    keeps each question's program as arrays over step positions so training
+    can thread dependencies through caches exactly like chained inference —
+    the substrate for chain-level scheduled sampling (train.scheduled).
+
+    Per question: ``functions`` (S,), ``deps`` (S, 2) int64 (-1 = none),
+    ``num_steps``, per-step targets ``target_boxes`` (S, Q, 4) /
+    ``target_box_mask`` (S, Q) / ``token_target`` (S,) / ``is_box_branch``
+    (S,), and ``step_valid`` (S,) masking degenerate steps out of the loss
+    (they still occupy positions so dependency indices stay aligned).
+    Questions with more than ``max_steps`` steps are skipped.
+    """
+    records: Dict[str, List[Any]] = {k: [] for k in (
+        "image_index", "functions", "deps", "num_steps", "target_boxes",
+        "target_box_mask", "token_target", "is_box_branch", "step_valid",
+    )}
+    skipped = 0
+    for q in annotated_questions:
+        parsed = _parse_question_steps(q, function_vocab, value_vocab)
+        s = len(parsed)
+        if s == 0 or s > max_steps:
+            skipped += int(s > max_steps)
+            continue
+        functions = np.zeros(max_steps, np.int32)
+        deps = np.full((max_steps, 2), -1, np.int64)
+        t_boxes = np.zeros((max_steps, max_output_boxes, 4), np.float32)
+        t_mask = np.zeros((max_steps, max_output_boxes), bool)
+        token_target = np.zeros(max_steps, np.int32)
+        is_box = np.zeros(max_steps, bool)
+        valid = np.zeros(max_steps, bool)
+        for k, p in enumerate(parsed):
+            functions[k] = p["function_id"]
+            for d, dep in enumerate(p["inputs"][:2]):
+                if 0 <= dep < k:  # backwards-only, like the flat parser
+                    deps[k, d] = dep
+            boxes = p["target_boxes"][:max_output_boxes]
+            t_boxes[k, : len(boxes)] = boxes
+            t_mask[k, : len(boxes)] = True
+            token_target[k] = max(p["token_id"], 0)
+            is_box[k] = p["is_box"]
+            valid[k] = p["valid"]
+        records["image_index"].append(q["image_index"])
+        records["functions"].append(functions)
+        records["deps"].append(deps)
+        records["num_steps"].append(s)
+        records["target_boxes"].append(t_boxes)
+        records["target_box_mask"].append(t_mask)
+        records["token_target"].append(token_target)
+        records["is_box_branch"].append(is_box)
+        records["step_valid"].append(valid)
+    if skipped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "executor_chain_step_arrays: skipped %d questions longer than "
+            "max_steps=%d", skipped, max_steps,
+        )
+    total = len(records["image_index"])
+    if subset_fraction < 1.0:
+        total = int(total * subset_fraction)
+    dtypes = {"image_index": np.int32, "num_steps": np.int32}
+    return {
+        k: np.asarray(v[:total], dtypes.get(k))
+        for k, v in records.items()
+    }
 
 
 @dataclass

@@ -65,12 +65,15 @@ def executor_set_loss(
     token_targets: jnp.ndarray,
     is_box_branch: jnp.ndarray,
     config: ExecutorConfig,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full executor objective.
 
     outputs: ProgramExecutor output dict; target_boxes (B, T, 4);
     target_box_mask (B, T) bool (valid targets contiguous from slot 0);
     token_targets (B,) int; is_box_branch (B,) bool.
+    ``sample_weight`` (B,) optionally down-weights/masks rows (e.g. inactive
+    chain positions in scheduled-sampling training); None = all ones.
     Returns dict with 'loss' plus components.
     """
     pred_boxes = outputs["pred_boxes"].astype(jnp.float32)  # (B, Q, 4)
@@ -112,7 +115,11 @@ def executor_set_loss(
     giou = box_giou(pred_boxes, matched_targets)  # (B, Q)
     reg = jnp.where(matched, l1 + (1.0 - giou), 0.0)
 
-    box_sample = is_box_branch.astype(jnp.float32)  # (B,)
+    weight = (
+        jnp.ones(is_box_branch.shape, jnp.float32)
+        if sample_weight is None else sample_weight.astype(jnp.float32)
+    )
+    box_sample = is_box_branch.astype(jnp.float32) * weight  # (B,)
     num_matched = jnp.sum(jnp.where(matched, 1.0, 0.0) * box_sample[:, None])
     box_reg_loss = jnp.sum(reg * box_sample[:, None]) / jnp.maximum(num_matched, 1.0)
 
@@ -123,14 +130,16 @@ def executor_set_loss(
     box_loss = box_reg_loss + conf_loss
 
     # --- token branch ---
-    tok_sample = 1.0 - box_sample
+    tok_sample = (1.0 - is_box_branch.astype(jnp.float32)) * weight
     token_loss = cross_entropy(
         outputs["token_logits"], token_targets, label_weights=tok_sample
     )
 
     # --- routing (0 = box branch, 1 = token branch) ---
     routing_targets = (1 - is_box_branch.astype(jnp.int32))
-    routing_loss = cross_entropy(outputs["routing_logits"], routing_targets)
+    routing_loss = cross_entropy(
+        outputs["routing_logits"], routing_targets, label_weights=weight
+    )
 
     total = (
         config.routing_weight * routing_loss

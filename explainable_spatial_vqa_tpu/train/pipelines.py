@@ -352,6 +352,73 @@ def _executor_pipeline(config: ExperimentConfig) -> Pipeline:
                     ("routing_correct", "routing_total"), spe)
 
 
+def _executor_scheduled_pipeline(config: ExperimentConfig) -> Pipeline:
+    """Thesis executor trained with chain-level scheduled sampling: per-step
+    dependency inputs are a p-mixture of ground-truth caches and the model's
+    own chained predictions (train.scheduled; DAgger-style exposure-bias
+    fix beyond the stateless input_box_noise jitter)."""
+    from explainable_spatial_vqa_tpu.core.vocab import load_vocab
+    from explainable_spatial_vqa_tpu.train.scheduled import (
+        make_scheduled_loss_fn,
+        schedule_p,
+    )
+
+    import dataclasses as _dc
+
+    annotated = read_annotated_h5(config.data.annotated_h5)
+    vocabs = load_vocab(config.data.split_vocab_json)
+    cfg = _dc.replace(
+        config.model,
+        vocab_size=max(config.model.vocab_size, len(vocabs["function"]) + 1),
+        token_classes=max(config.model.token_classes, len(vocabs["other"]) + 1),
+    )
+    arrays = ds.executor_chain_step_arrays(
+        annotated, vocabs["function"], vocabs["other"],
+        max_steps=28,
+        max_output_boxes=cfg.num_queries,
+        subset_fraction=config.data.subset_fraction,
+    )
+    gather = _FeatureGather(config.data.features_h5, as_tokens=True)
+    model = ProgramExecutor(cfg)
+    dummy = (
+        jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim)),
+        jnp.zeros((2, cfg.max_input_boxes, 4)),
+        jnp.ones((2, cfg.max_input_boxes), bool),
+        jnp.zeros((2, 3), jnp.int32),
+        jnp.ones((2, 3), bool),
+    )
+    variables = model.init(jax.random.PRNGKey(config.train.seed), *dummy)
+    loss_fn = make_scheduled_loss_fn(model, cfg)
+
+    n = len(arrays["image_index"])
+    train_idx, val_idx, test_idx = _splits(n, config)
+    bs = config.train.batch_size
+    train_sub, val_sub, test_sub = (
+        Subset(arrays, i) for i in (train_idx, val_idx, test_idx)
+    )
+
+    def with_p(p):
+        def transform(batch):
+            batch = gather(batch)
+            batch["p_sample"] = np.float32(p)
+            return batch
+
+        return transform
+
+    def train_b(epoch):
+        return batches(train_sub, bs, shuffle=True, seed=config.data.seed,
+                       epoch=epoch, transform=with_p(schedule_p(epoch, cfg)))
+
+    def val_b():
+        return batches(val_sub, bs, shuffle=False, transform=with_p(0.0))
+
+    def test_b():
+        return batches(test_sub, bs, shuffle=False, transform=with_p(0.0))
+
+    return Pipeline(model, variables["params"], loss_fn, train_b, val_b, test_b,
+                    ("routing_correct", "routing_total"), len(train_sub) // bs)
+
+
 def _iqap_cot_pipeline(config: ExperimentConfig) -> Pipeline:
     """CoT (bbox-as-tokens) variant over mapped_sequences.h5: the combined
     program/answer sequence is decoded with CE skipping bbox-coordinate
@@ -729,6 +796,7 @@ _FAMILIES = {
     "step_seq2seq": _step_seq2seq_pipeline,
     "iqap_cot": _iqap_cot_pipeline,
     "executor": _executor_pipeline,
+    "executor_scheduled": _executor_scheduled_pipeline,
     "prototype_step": _prototype_step_pipeline,
 }
 

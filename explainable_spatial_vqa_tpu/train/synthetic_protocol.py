@@ -42,6 +42,7 @@ logger = logging.getLogger(__name__)
 __all__ = [
     "train_generator_synthetic",
     "train_executor_synthetic",
+    "train_executor_scheduled_synthetic",
     "evaluate_pipeline_synthetic",
 ]
 
@@ -184,6 +185,83 @@ def train_executor_synthetic(
         )
         if log_every and (it + 1) % log_every == 0:
             logger.info("executor step %d/%d loss %.4f", it + 1, steps, float(loss))
+    return model, {"params": params}, cfg, float(loss)
+
+
+def train_executor_scheduled_synthetic(
+    annotated: List[dict],
+    vocabs: Dict,
+    features: np.ndarray,
+    steps: int = 500,
+    batch_size: int = 64,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+    p_max: float = 0.5,
+    ramp_fraction: float = 0.5,
+    max_steps: int = 8,
+    config: Optional[ExecutorConfig] = None,
+    init_variables: Optional[Dict] = None,
+    log_every: int = 100,
+):
+    """Executor training with chain-level scheduled sampling (train.scheduled):
+    same protocol as ``train_executor_synthetic`` but batches are whole
+    QUESTIONS and dependency inputs are a p-mixture of ground truth and the
+    model's own chained predictions; ``p`` ramps 0 -> ``p_max`` over the first
+    ``ramp_fraction`` of steps."""
+    from explainable_spatial_vqa_tpu.train.scheduled import make_scheduled_loss_fn
+
+    cfg = config or ExecutorConfig(
+        vocab_size=len(vocabs["function"]) + 1,
+        d_model=96, num_heads=4, encoder_layers=2, box_decoder_layers=1,
+        num_queries=8, num_image_tokens=196, image_feature_dim=64,
+        max_input_boxes=8, token_classes=len(vocabs["other"]) + 1,
+        dropout=0.0, scheduled_p_max=p_max,
+    )
+    arrays = ds.executor_chain_step_arrays(
+        annotated, vocabs["function"], vocabs["other"],
+        max_steps=max_steps, max_output_boxes=cfg.num_queries,
+    )
+    model = ProgramExecutor(cfg)
+    if init_variables is None:
+        variables = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.asarray(features[:2]),
+            jnp.zeros((2, cfg.max_input_boxes, 4)),
+            jnp.ones((2, cfg.max_input_boxes), bool),
+            jnp.zeros((2, 3), jnp.int32),
+            jnp.ones((2, 3), bool),
+        )
+    else:
+        variables = init_variables
+    params, tx = variables["params"], optax.adam(learning_rate)
+    opt_state = tx.init(params)
+    loss_fn = make_scheduled_loss_fn(model, cfg)
+    rng = np.random.RandomState(seed)
+    n = len(arrays["image_index"])
+    base_key = jax.random.PRNGKey(seed + 77)
+
+    @jax.jit
+    def step(params, opt_state, it, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, jax.random.fold_in(base_key, it), True
+        )
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    take = min(batch_size, n)
+    ramp_steps = max(1, int(steps * ramp_fraction))
+    loss = jnp.zeros(())
+    for it in range(steps):
+        idx = rng.choice(n, take, replace=False)
+        batch = {k: jnp.asarray(v[idx]) for k, v in arrays.items()
+                 if k != "image_index"}
+        batch["image"] = jnp.asarray(features[arrays["image_index"][idx]])
+        batch["p_sample"] = jnp.float32(p_max * min(1.0, (it + 1) / ramp_steps))
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(it, jnp.int32), batch)
+        if log_every and (it + 1) % log_every == 0:
+            logger.info("scheduled executor step %d/%d loss %.4f",
+                        it + 1, steps, float(loss))
     return model, {"params": params}, cfg, float(loss)
 
 

@@ -149,9 +149,14 @@ class Trainer:
     # -- loops --------------------------------------------------------------
 
     def _put(self, batch: Dict[str, np.ndarray]):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), self._batch_shard), batch
-        )
+        def put(x):
+            x = jnp.asarray(x)
+            # scalars (e.g. the scheduled-sampling p) replicate; arrays shard
+            # their leading batch dim over the data axis
+            shard = self._replicated if x.ndim == 0 else self._batch_shard
+            return jax.device_put(x, shard)
+
+        return jax.tree_util.tree_map(put, batch)
 
     def train_epoch(self, data: Iterable[Dict[str, np.ndarray]], rng: jax.Array) -> MetricAccumulator:
         acc = MetricAccumulator()

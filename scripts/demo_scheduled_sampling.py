@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Scheduled-sampling ablation on the synthetic end-to-end protocol.
+
+Trains the thesis executor three ways on the SAME corpus/generator/steps —
+(a) teacher-forced (reference protocol), (b) grounding-noise augmentation
+(the stateless round-1 lever), (c) chain-level scheduled sampling
+(train.scheduled; the model's own chained predictions mixed into dependency
+inputs with ramped probability) — then evaluates each with the full
+generate→parse→chained-execute pipeline on held-out scenes, where exposure
+bias is what separates them.
+
+Appends/refreshes a '## Scheduled sampling' section in DEMO.md (markers make
+reruns idempotent).  Env knobs: DEMO_PLATFORM (cpu|tpu), DEMO_SCENES,
+DEMO_GEN_STEPS, DEMO_EXE_STEPS, DEMO_P_MAX, DEMO_NOISE, DEMO_DROP.
+"""
+
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("DEMO_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from explainable_spatial_vqa_tpu.clevr import annotate as ann
+from explainable_spatial_vqa_tpu.clevr import synthetic as syn
+from explainable_spatial_vqa_tpu.clevr.scenes import Scene
+from explainable_spatial_vqa_tpu.core import vocab as voc
+from explainable_spatial_vqa_tpu.train.synthetic_protocol import (
+    evaluate_pipeline_synthetic,
+    train_executor_scheduled_synthetic,
+    train_executor_synthetic,
+    train_generator_synthetic,
+)
+
+logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+BEGIN = "<!-- scheduled-sampling:begin -->"
+END = "<!-- scheduled-sampling:end -->"
+
+
+def main():
+    t0 = time.time()
+    num_scenes = int(os.environ.get("DEMO_SCENES", "160"))
+    exe_steps = int(os.environ.get("DEMO_EXE_STEPS", "2000"))
+    p_max = float(os.environ.get("DEMO_P_MAX", "0.5"))
+    noise = float(os.environ.get("DEMO_NOISE", "0.05"))
+    drop = float(os.environ.get("DEMO_DROP", "0.15"))
+
+    print("synthesizing corpus...")
+    scenes_raw, questions = syn.synthesize_dataset(num_scenes, 6, seed=3)
+    scenes = {s["image_index"]: Scene.from_raw(s) for s in scenes_raw}
+    clevr_vocab = voc.build_clevr_vocab([questions])
+    annotated = ann.annotate_questions(questions, scenes)
+    split_vocab = voc.build_split_vocab(annotated)
+    features = np.stack([
+        syn.scene_feature_map(s).reshape(64, -1).T for s in scenes_raw
+    ]).astype(np.float32)
+
+    train_scenes = set(range(int(num_scenes * 0.8)))
+    train_q = [q for q in questions if q["image_index"] in train_scenes]
+    train_ann = [a for a in annotated if a["image_index"] in train_scenes]
+    eval_q = [q for q in questions if q["image_index"] not in train_scenes]
+
+    print(f"training generator on {len(train_q)} questions...")
+    generator, gen_vars, _gen_cfg, gen_loss = train_generator_synthetic(
+        train_q, clevr_vocab,
+        steps=int(os.environ.get("DEMO_GEN_STEPS", "400")))
+    print(f"  final loss {gen_loss:.4f}")
+
+    def evaluate(tag, executor, exe_vars, exe_cfg):
+        tally, acc = evaluate_pipeline_synthetic(
+            generator, gen_vars, executor, exe_vars, exe_cfg,
+            eval_q, features, clevr_vocab, split_vocab, max_steps=8)
+        print(f"  [{tag}] overall={acc.get('overall', float('nan')):.3f} "
+              + " ".join(f"{k}={v:.3f}" for k, v in acc.items() if k != "overall"))
+        return acc
+
+    results = {}
+    print(f"[1/3] teacher-forced executor ({exe_steps} steps)...")
+    executor, exe_vars, exe_cfg, _ = train_executor_synthetic(
+        train_ann, split_vocab, features, steps=exe_steps)
+    results["teacher-forced (reference protocol)"] = evaluate(
+        "tf", executor, exe_vars, exe_cfg)
+
+    print(f"[2/3] grounding-noise executor (noise={noise}, drop={drop})...")
+    executor, exe_vars, exe_cfg, _ = train_executor_synthetic(
+        train_ann, split_vocab, features, steps=exe_steps,
+        noise=noise, drop=drop)
+    results[f"grounding noise (noise={noise}, drop={drop})"] = evaluate(
+        "noise", executor, exe_vars, exe_cfg)
+
+    print(f"[3/3] scheduled-sampling executor (p_max={p_max})...")
+    executor, exe_vars, exe_cfg, _ = train_executor_scheduled_synthetic(
+        train_ann, split_vocab, features, steps=exe_steps, p_max=p_max)
+    results[f"scheduled sampling (p_max={p_max}, chain-level)"] = evaluate(
+        "sched", executor, exe_vars, exe_cfg)
+
+    elapsed = time.time() - t0
+    platform = os.environ.get("DEMO_PLATFORM", "cpu")
+
+    keys = sorted({k for acc in results.values() for k in acc})
+    keys = ["overall"] + [k for k in keys if k != "overall"]
+    header = "| training regime | " + " | ".join(keys) + " |"
+    sep = "|---" * (len(keys) + 1) + "|"
+    rows = [
+        "| " + tag + " | "
+        + " | ".join(f"{acc.get(k, float('nan')):.3f}" for k in keys) + " |"
+        for tag, acc in results.items()
+    ]
+    section = "\n".join([
+        BEGIN,
+        "## Scheduled sampling: closing the exposure-bias gap "
+        "(chained accuracy, held-out scenes)",
+        "",
+        f"`scripts/demo_scheduled_sampling.py` — {num_scenes} scenes, "
+        f"{exe_steps} executor steps per regime, identical generator "
+        f"(TF loss {gen_loss:.4f}), platform {platform}, {elapsed:.0f}s.",
+        "The executor is trained teacher-forced (the reference's protocol), "
+        "with stateless grounding noise, and with chain-level scheduled "
+        "sampling (`train/scheduled.py`: dependency inputs drawn from the "
+        "model's OWN chained predictions with ramped probability — the "
+        "distribution it actually faces at inference).",
+        "",
+        header,
+        sep,
+        *rows,
+        END,
+    ])
+
+    demo_path = os.environ.get("DEMO_OUT",
+                               os.path.join(os.path.dirname(os.path.dirname(
+                                   os.path.abspath(__file__))), "DEMO.md"))
+    try:
+        text = open(demo_path).read()
+    except FileNotFoundError:
+        text = ""
+    if BEGIN in text and END in text:
+        pre, rest = text.split(BEGIN, 1)
+        _, post = rest.split(END, 1)
+        text = pre + section + post
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(demo_path, "w") as f:
+        f.write(text)
+    print(f"wrote section to {demo_path}")
+
+
+if __name__ == "__main__":
+    main()
