@@ -165,14 +165,39 @@ def chained_forward(
 
 
 class ExecutorChainRunner:
-    """Chained inference for the thesis-final ProgramExecutor."""
+    """Chained inference for the thesis-final ProgramExecutor.
 
-    def __init__(self, model, variables, config: ExecutorConfig, max_steps: int = 28):
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``"data"`` axis for
+    multi-chip serving — parameters replicate, the question batch shards
+    over the axis, and the whole chained loop partitions with ZERO
+    collectives (every op in ``chained_forward`` is batch-parallel: the
+    dependency gathers index within each question's own row).  Batches are
+    padded to a multiple of the axis size and un-padded on return.
+    """
+
+    def __init__(self, model, variables, config: ExecutorConfig, max_steps: int = 28,
+                 mesh=None):
         self.model = model
-        self.variables = variables
         self.config = config
         self.max_steps = max_steps
-        self._run = jax.jit(self._run_impl)
+        self.mesh = mesh
+        if mesh is not None:
+            from explainable_spatial_vqa_tpu.parallel.mesh import (
+                batch_sharding, replicated,
+            )
+
+            self._data_axis = mesh.shape["data"]
+            self._batch_shard = batch_sharding(mesh)
+            self.variables = jax.device_put(variables, replicated(mesh))
+            self._run = jax.jit(
+                self._run_impl,
+                in_shardings=(self._batch_shard,) * 4,
+                out_shardings=ChainState(*(self._batch_shard,) * 6),
+            )
+        else:
+            self._data_axis = 1
+            self.variables = variables
+            self._run = jax.jit(self._run_impl)
 
     def _run_impl(
         self,
@@ -187,12 +212,22 @@ class ExecutorChainRunner:
         )
 
     def run(self, image_tokens, chains: ChainArrays) -> Dict[str, np.ndarray]:
-        state = self._run(
+        n = chains.functions.shape[0]
+        args = (
             jnp.asarray(image_tokens),
             jnp.asarray(chains.functions),
             jnp.asarray(chains.deps),
             jnp.asarray(chains.num_steps),
         )
+        if self._data_axis > 1 and n % self._data_axis:
+            # zero-pad so shapes divide the data axis; padded rows have
+            # num_steps=0 (every step inactive) and are dropped below
+            from explainable_spatial_vqa_tpu.parallel.mesh import pad_to_multiple
+
+            args = tuple(pad_to_multiple(a, self._data_axis)[0] for a in args)
+        state = self._run(*args)
+        if args[1].shape[0] != n:
+            state = ChainState(*(leaf[:n] for leaf in state))
         last = np.asarray(chains.num_steps) - 1
         rows = np.arange(len(last))
         return {
@@ -234,7 +269,8 @@ class ExecutorChainRunner:
             runner = self._bucket_runners.get(depth)
             if runner is None:
                 runner = ExecutorChainRunner(
-                    self.model, self.variables, self.config, max_steps=depth
+                    self.model, self.variables, self.config, max_steps=depth,
+                    mesh=self.mesh,
                 )
                 self._bucket_runners[depth] = runner
             sub = ChainArrays(

@@ -115,3 +115,28 @@ def test_chain_runner_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out.box_cache), plain["box_cache"], atol=1e-5
     )
+
+    # first-class serving API: mesh= handles placement + padding itself;
+    # n=16-3 is NOT divisible by 8, exercising the zero-pad round trip
+    runner_mesh = ExecutorChainRunner(
+        model, variables, CFG, max_steps=max_steps, mesh=mesh
+    )
+    m = n - 3
+    sub = ChainArrays(
+        chains.image_index[:m], functions[:m], deps[:m], num_steps[:m], []
+    )
+    out_mesh = runner_mesh.run(np.asarray(img)[:m], sub)
+    np.testing.assert_allclose(
+        out_mesh["token_cache"], plain["token_cache"][:m], atol=0
+    )
+    np.testing.assert_allclose(
+        out_mesh["box_cache"], plain["box_cache"][:m], atol=1e-5
+    )
+
+    # bucketed serving inherits the mesh
+    out_bucketed = runner_mesh.run_bucketed(
+        np.asarray(img)[:m], sub, buckets=(2, max_steps)
+    )
+    np.testing.assert_allclose(
+        out_bucketed["final_tokens"], plain["final_tokens"][:m], atol=0
+    )
