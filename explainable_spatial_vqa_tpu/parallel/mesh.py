@@ -27,12 +27,26 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     """Build a mesh; a single -1 dimension absorbs all remaining devices."""
+    explicit_devices = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     shape = list(shape)
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = len(devices) // known
     total = int(np.prod(shape))
+    if not explicit_devices and total == len(devices) and len(devices) > 1:
+        # Topology-aware layout: mesh_utils orders devices so that the
+        # innermost mesh axes map to physically adjacent chips (ICI
+        # neighbors on the TPU torus), keeping the "model" axis — whose
+        # collectives are latency-bound — on the shortest links.  Fall back
+        # to enumeration order when the backend exposes no topology (CPU).
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh(tuple(shape), devices=devices)
+            return Mesh(grid, tuple(axes))
+        except Exception:
+            pass
     grid = np.asarray(devices[:total]).reshape(shape)
     return Mesh(grid, tuple(axes))
 
