@@ -49,7 +49,7 @@ def main():
     t0 = time.time()
     num_scenes = int(os.environ.get("DEMO_SCENES", "160"))
     exe_steps = int(os.environ.get("DEMO_EXE_STEPS", "2000"))
-    p_max = float(os.environ.get("DEMO_P_MAX", "0.5"))
+    p_maxes = [float(p) for p in os.environ.get("DEMO_P_MAX", "0.5").split(",")]
     noise = float(os.environ.get("DEMO_NOISE", "0.05"))
     drop = float(os.environ.get("DEMO_DROP", "0.15"))
 
@@ -96,11 +96,40 @@ def main():
     results[f"grounding noise (noise={noise}, drop={drop})"] = evaluate(
         "noise", executor, exe_vars, exe_cfg)
 
-    print(f"[3/3] scheduled-sampling executor (p_max={p_max})...")
-    executor, exe_vars, exe_cfg, _ = train_executor_scheduled_synthetic(
-        train_ann, split_vocab, features, steps=exe_steps, p_max=p_max)
-    results[f"scheduled sampling (p_max={p_max}, chain-level)"] = evaluate(
-        "sched", executor, exe_vars, exe_cfg)
+    for i, p_max in enumerate(p_maxes):
+        print(f"[{3 + i}/{2 + len(p_maxes)}] scheduled-sampling executor "
+              f"(p_max={p_max})...")
+        executor, exe_vars, exe_cfg, _ = train_executor_scheduled_synthetic(
+            train_ann, split_vocab, features, steps=exe_steps, p_max=p_max)
+        results[f"scheduled sampling (p_max={p_max}, chain-level)"] = evaluate(
+            f"sched p={p_max}", executor, exe_vars, exe_cfg)
+
+    ft_steps = int(os.environ.get("DEMO_FT_STEPS", "0"))
+    if ft_steps:
+        # warm-start comparison: take the teacher-forced model and fine-tune
+        # it (a) with more TF steps (control) vs (b) with chain-level
+        # scheduled sampling at constant p (classic curriculum: TF first,
+        # then expose to own predictions)
+        import dataclasses
+
+        ft_p = float(os.environ.get("DEMO_FT_P", "0.3"))
+        print(f"[ft] TF control (+{ft_steps} TF steps)...")
+        executor, exe_vars, exe_cfg, _ = train_executor_synthetic(
+            train_ann, split_vocab, features, steps=exe_steps + ft_steps)
+        results[f"teacher-forced (+{ft_steps} steps, control)"] = evaluate(
+            "tf-long", executor, exe_vars, exe_cfg)
+
+        print(f"[ft] TF then scheduled fine-tune (+{ft_steps} @ p={ft_p})...")
+        executor, exe_vars, exe_cfg, _ = train_executor_synthetic(
+            train_ann, split_vocab, features, steps=exe_steps)
+        sched_cfg = dataclasses.replace(exe_cfg, scheduled_p_max=ft_p)
+        executor, exe_vars, exe_cfg, _ = train_executor_scheduled_synthetic(
+            train_ann, split_vocab, features, steps=ft_steps, p_max=ft_p,
+            ramp_fraction=0.2, config=sched_cfg,
+            init_variables=exe_vars)
+        results[
+            f"TF then scheduled fine-tune (+{ft_steps} @ p={ft_p})"
+        ] = evaluate("tf+sched", executor, exe_vars, exe_cfg)
 
     elapsed = time.time() - t0
     platform = os.environ.get("DEMO_PLATFORM", "cpu")
