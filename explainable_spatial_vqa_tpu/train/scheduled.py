@@ -113,6 +113,17 @@ def make_scheduled_loss_fn(model, cfg: ExecutorConfig) -> Callable:
                 state, functions[:, k], deps[:, k, 0], deps[:, k, 1],
                 cfg.max_input_boxes,
             )
+            if train and (cfg.input_box_noise > 0.0 or cfg.input_box_drop > 0.0):
+                # stateless grounding noise composes with the scheduled
+                # mixture (jitter whatever inputs the mixture produced)
+                from explainable_spatial_vqa_tpu.train.losses import (
+                    perturb_input_boxes,
+                )
+
+                input_boxes, input_mask = perturb_input_boxes(
+                    input_boxes, input_mask, jax.random.fold_in(rng, 1000 + k),
+                    cfg.input_box_noise, cfg.input_box_drop,
+                )
             rngs = {"dropout": jax.random.fold_in(rng, k)} if train else {}
             out = model.apply(
                 variables, image, input_boxes, input_mask, text, text_mask,

@@ -156,6 +156,21 @@ def test_scheduled_loss_and_grads(corpus):
     )(variables["params"], batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss_eval))
 
+    # grounding noise composes with the scheduled mixture
+    noisy_cfg = _tiny_cfg(scheduled_p_max=0.5, input_box_noise=0.05,
+                          input_box_drop=0.2)
+    noisy_fn = make_scheduled_loss_fn(model, noisy_cfg)
+    (loss_n, _), grads_n = jax.jit(
+        lambda p, b, r: jax.value_and_grad(noisy_fn, has_aux=True)(p, b, r, True)
+    )(variables["params"], batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss_n))
+    assert float(loss_n) != float(loss)  # the perturbation changed inputs
+    # eval stays deterministic (no noise applied)
+    loss_eval_n, _ = jax.jit(
+        lambda p, b, r: noisy_fn(p, b, r, False)
+    )(variables["params"], batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(loss_eval_n), float(loss_eval), rtol=1e-6)
+
 
 @pytest.mark.slow
 def test_scheduled_pipeline_trains(corpus, tmp_path):
