@@ -224,7 +224,7 @@ def run_vectorized(n, batch, device):
     import jax
     import jax.numpy as jnp
 
-    from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+    from explainable_spatial_vqa_tpu.infer.chain import chained_forward
 
     generator, gen_vars, gen_cfg, executor, exe_vars, exe_cfg = build_pipeline()
     features, questions, chains = synth_questions(n, exe_cfg)
@@ -270,19 +270,21 @@ def run_vectorized(n, batch, device):
         idx = np.flatnonzero(select)
         if idx.size == 0:
             continue
-        runner = ExecutorChainRunner(executor, exe_vars, exe_cfg, max_steps=depth)
-
-        def bucket_step(sel, _runner=runner, _depth=depth):
-            q = jnp.take(questions_dev, sel, axis=0)
-            programs = generator.apply(gen_vars, q, method=generator.generate)
-            img = jnp.take(
-                features_dev, jnp.take(image_index_dev, sel, axis=0), axis=0
-            )
-            state = _runner._run_impl(
-                img,
-                jnp.take(functions_dev, sel, axis=0)[:, :_depth],
-                jnp.take(deps_dev, sel, axis=0)[:, :_depth],
-                jnp.take(num_steps_dev, sel, axis=0),
+        # The big caches and the weights enter as jit ARGUMENTS (device-array
+        # handles), not closure constants: the axon tunnel serializes closure
+        # constants into the compile request body, which overflows its HTTP
+        # limit once the feature cache passes ~100 MB (N >= ~1500).
+        def bucket_step(sel, feats, qs, img_idx, fns, dps, nsteps,
+                        gvars, evars, _depth=depth):
+            q = jnp.take(qs, sel, axis=0)
+            programs = generator.apply(gvars, q, method=generator.generate)
+            img = jnp.take(feats, jnp.take(img_idx, sel, axis=0), axis=0)
+            state = chained_forward(
+                executor, evars, img,
+                jnp.take(fns, sel, axis=0)[:, :_depth],
+                jnp.take(dps, sel, axis=0)[:, :_depth],
+                jnp.take(nsteps, sel, axis=0),
+                exe_cfg, max_steps=_depth,
             )
             return programs, state
 
@@ -294,8 +296,11 @@ def run_vectorized(n, batch, device):
                 part = np.concatenate([part, np.repeat(part[-1], batch - real)])
             plan.append((depth, jax.device_put(jnp.asarray(part)), real))
 
+    shared = (features_dev, questions_dev, image_index_dev, functions_dev,
+              deps_dev, num_steps_dev, gen_vars, exe_vars)
+
     def run_all():
-        outs = [bucket_fns[depth](sel) for depth, sel, _real in plan]
+        outs = [bucket_fns[depth](sel, *shared) for depth, sel, _real in plan]
         # materialize every batch's answer tokens on host (the deliverable;
         # all dispatches above are async, so transfers overlap execution)
         return [np.asarray(state.token_cache) for _programs, state in outs]

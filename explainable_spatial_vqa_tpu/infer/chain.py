@@ -303,15 +303,34 @@ class Seq2SeqChainRunner:
         start_token: int = 1,
         end_token: int = 2,
         pad_token: int = 0,
+        mesh=None,
     ):
         self.model = model
-        self.variables = variables
         self.config = config
         self.max_steps = max_steps
         self.start_token = start_token
         self.end_token = end_token
         self.pad_token = pad_token
-        self._run = jax.jit(self._run_impl)
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip serving, same layout as ExecutorChainRunner: params
+            # replicated, batch sharded over "data", zero collectives
+            from explainable_spatial_vqa_tpu.parallel.mesh import (
+                batch_sharding, replicated,
+            )
+
+            self._data_axis = mesh.shape["data"]
+            self._batch_shard = batch_sharding(mesh)
+            self.variables = jax.device_put(variables, replicated(mesh))
+            self._run = jax.jit(
+                self._run_impl,
+                in_shardings=(self._batch_shard,) * 4,
+                out_shardings=self._batch_shard,
+            )
+        else:
+            self._data_axis = 1
+            self.variables = variables
+            self._run = jax.jit(self._run_impl)
 
     def _decode(self, memory, memory_mask):
         """Greedy decode with KV cache (mirrors ops.decoding.greedy_decode,
@@ -376,13 +395,18 @@ class Seq2SeqChainRunner:
         return jax.lax.fori_loop(0, s, body, cache)
 
     def run(self, image_tokens, chains: ChainArrays) -> Dict[str, np.ndarray]:
-        cache = self._run(
+        n = chains.functions.shape[0]
+        args = (
             jnp.asarray(image_tokens),
             jnp.asarray(chains.functions),
             jnp.asarray(chains.deps),
             jnp.asarray(chains.num_steps),
         )
-        cache = np.asarray(cache)
+        if self._data_axis > 1 and n % self._data_axis:
+            from explainable_spatial_vqa_tpu.parallel.mesh import pad_to_multiple
+
+            args = tuple(pad_to_multiple(a, self._data_axis)[0] for a in args)
+        cache = np.asarray(self._run(*args))[:n]
         last = np.asarray(chains.num_steps) - 1
         rows = np.arange(len(last))
         return {"step_outputs": cache, "final_outputs": cache[rows, last]}
@@ -419,7 +443,7 @@ def run_bucketed_seq2seq(
             sub_runner = Seq2SeqChainRunner(
                 runner.model, runner.variables, runner.config, max_steps=depth,
                 start_token=runner.start_token, end_token=runner.end_token,
-                pad_token=runner.pad_token,
+                pad_token=runner.pad_token, mesh=runner.mesh,
             )
             runner._bucket_runners[depth] = sub_runner
         sub = ChainArrays(

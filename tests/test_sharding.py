@@ -140,3 +140,44 @@ def test_chain_runner_sharded_matches_single_device():
     np.testing.assert_allclose(
         out_bucketed["final_tokens"], plain["final_tokens"][:m], atol=0
     )
+
+
+def test_seq2seq_chain_runner_sharded_matches_single_device():
+    """The seq2seq chain runner's mesh serving path must match unsharded
+    execution, including the non-divisible-batch pad round trip."""
+    from explainable_spatial_vqa_tpu.core.config import StepSeq2SeqConfig
+    from explainable_spatial_vqa_tpu.infer.chain import Seq2SeqChainRunner
+    from explainable_spatial_vqa_tpu.models.step_executor import StepExecutorSeq2Seq
+    from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+
+    cfg = StepSeq2SeqConfig(
+        vocab_size=16, d_model=16, num_heads=2, encoder_layers=1,
+        decoder_layers=1, ffn_dim=32, max_src_len=8, max_tgt_len=4,
+        num_image_tokens=4, image_feature_dim=8,
+    )
+    model = StepExecutorSeq2Seq(cfg)
+    rng = np.random.RandomState(0)
+    n, max_steps = 13, 3  # 13 % 8 != 0 -> exercises padding
+    img = jnp.asarray(rng.rand(n, 4, 8), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), img[:2], jnp.zeros((2, 5), jnp.int32),
+        jnp.zeros((2, 3), jnp.int32),
+    )
+    functions = rng.randint(3, 16, (n, max_steps)).astype(np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    deps[:, 1:, 0] = np.arange(max_steps - 1)
+    chains = ChainArrays(
+        np.arange(n, dtype=np.int32), functions, deps,
+        np.full(n, max_steps, np.int32), [],
+    )
+
+    plain = Seq2SeqChainRunner(model, variables, cfg, max_steps=max_steps).run(
+        img, chains
+    )
+    mesh = make_mesh((8,), ("data",))
+    sharded = Seq2SeqChainRunner(
+        model, variables, cfg, max_steps=max_steps, mesh=mesh
+    ).run(np.asarray(img), chains)
+    np.testing.assert_array_equal(
+        sharded["step_outputs"], plain["step_outputs"]
+    )
