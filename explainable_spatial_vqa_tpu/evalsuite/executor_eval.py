@@ -70,36 +70,6 @@ def evaluate_executor_steps(
     return tally
 
 
-def _gt_step(step, function_vocab, inv_function, value_vocab):
-    """(function_name, is_box, gt_boxes, gt_token_id) for one annotated step.
-
-    Accepts raw OR vocab-converted records (same semantics as
-    train.datasets.executor_step_arrays: converted functions are id digits;
-    converted token outputs are ids except verbatim numerals)."""
-    from explainable_spatial_vqa_tpu.clevr.executor import NON_SPATIAL_FUNCTIONS
-    from explainable_spatial_vqa_tpu.core.vocab import canonicalize
-    from explainable_spatial_vqa_tpu.train.datasets import parse_boxes
-
-    function = step["function"]
-    converted = False
-    if function not in function_vocab and function.strip().isdigit():
-        fid = int(function)
-        if fid in inv_function:
-            function = inv_function[fid]
-            converted = True
-    base = function.split("[")[0]
-    is_box = base not in NON_SPATIAL_FUNCTIONS
-    out_text = step["output_values"].strip()
-    if is_box:
-        return function, True, parse_boxes(out_text), -1
-    can = canonicalize(out_text)
-    if converted and base != "count" and can.isdigit():
-        token_id = int(can)
-    else:
-        token_id = value_vocab.get(can, -1)
-    return function, False, None, token_id
-
-
 def tally_predicted_chains(
     run_out: Dict[str, np.ndarray],
     annotated: Any,
@@ -117,31 +87,35 @@ def tally_predicted_chains(
 
     ``run_out``: ExecutorChainRunner.run output (box_cache/conf_cache/
     token_cache/token_branch) for chains built from the SAME ``annotated``
-    records in order.
+    records in order.  GT parsing is the training builder's
+    ``_parse_question_steps`` (one source of truth for raw vs
+    vocab-converted record semantics); ``valid`` there encodes exactly the
+    degenerate-step skips (empty post-INVALID box steps, unresolvable
+    tokens).
     """
-    inv_function = {v: k for k, v in function_vocab.items()}
+    from explainable_spatial_vqa_tpu.train.datasets import _parse_question_steps
+
     tally = DetectionTally(iou_threshold=iou_threshold)
     for i, q in enumerate(annotated):
-        for k, step in enumerate(q["annotated_program"][:max_steps]):
-            function, is_box, gt_boxes, gt_token = _gt_step(
-                step, function_vocab, inv_function, value_vocab
-            )
-            if is_box:
-                if len(gt_boxes) == 0 and not step["output_values"].strip():
-                    continue  # degenerate post-INVALID step
+        parsed = _parse_question_steps(q, function_vocab, value_vocab)
+        for k, p in enumerate(parsed[:max_steps]):
+            if not p["valid"]:
+                continue
+            if p["is_box"]:
                 conf = run_out["conf_cache"][i, k]
                 keep = conf >= conf_threshold
-                tally.add_box_step(function, run_out["box_cache"][i, k][keep], gt_boxes)
+                tally.add_box_step(
+                    p["function"], run_out["box_cache"][i, k][keep],
+                    p["target_boxes"],
+                )
             else:
-                if gt_token < 0:
-                    continue
                 # a step routed to the box branch cannot produce the token
                 pred = (
                     int(run_out["token_cache"][i, k])
                     if run_out["token_branch"][i, k]
                     else -1
                 )
-                tally.add_token_step(function, pred, gt_token)
+                tally.add_token_step(p["function"], pred, p["token_id"])
     return tally
 
 
@@ -158,17 +132,19 @@ def calibrate_chain_conf_threshold(
     For every spatial step, predictions are greedily matched to unclaimed GT
     boxes in confidence order (threshold 0); the resulting (confidence,
     is-true-positive) pairs feed evalsuite.detection.calibrate_conf_threshold.
-    Returns (best_threshold, best_f1)."""
-    inv_function = {v: k for k, v in function_vocab.items()}
+    Degenerate steps are skipped with exactly ``tally_predicted_chains``'s
+    rules, so the calibrated threshold optimizes the same objective the
+    tally reports.  Returns (best_threshold, best_f1)."""
+    from explainable_spatial_vqa_tpu.train.datasets import _parse_question_steps
+
     confs = []
     tps = []
     for i, q in enumerate(annotated):
-        for k, step in enumerate(q["annotated_program"][:max_steps]):
-            function, is_box, gt_boxes, _ = _gt_step(
-                step, function_vocab, inv_function, value_vocab
-            )
-            if not is_box:
+        parsed = _parse_question_steps(q, function_vocab, value_vocab)
+        for k, p in enumerate(parsed[:max_steps]):
+            if not p["is_box"] or not p["valid"]:
                 continue
+            gt_boxes = p["target_boxes"]
             conf = run_out["conf_cache"][i, k]
             pred = run_out["box_cache"][i, k]
             order = np.argsort(-conf)

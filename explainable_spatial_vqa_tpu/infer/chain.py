@@ -213,19 +213,15 @@ class ExecutorChainRunner:
 
     def run(self, image_tokens, chains: ChainArrays) -> Dict[str, np.ndarray]:
         n = chains.functions.shape[0]
-        args = (
-            jnp.asarray(image_tokens),
-            jnp.asarray(chains.functions),
-            jnp.asarray(chains.deps),
-            jnp.asarray(chains.num_steps),
-        )
+        args = (image_tokens, chains.functions, chains.deps, chains.num_steps)
         if self._data_axis > 1 and n % self._data_axis:
-            # zero-pad so shapes divide the data axis; padded rows have
-            # num_steps=0 (every step inactive) and are dropped below
+            # zero-pad ON HOST (before any device transfer) so shapes divide
+            # the data axis; padded rows have num_steps=0 (every step
+            # inactive) and are dropped below
             from explainable_spatial_vqa_tpu.parallel.mesh import pad_to_multiple
 
             args = tuple(pad_to_multiple(a, self._data_axis)[0] for a in args)
-        state = self._run(*args)
+        state = self._run(*(jnp.asarray(a) for a in args))
         if args[1].shape[0] != n:
             state = ChainState(*(leaf[:n] for leaf in state))
         last = np.asarray(chains.num_steps) - 1
@@ -396,17 +392,13 @@ class Seq2SeqChainRunner:
 
     def run(self, image_tokens, chains: ChainArrays) -> Dict[str, np.ndarray]:
         n = chains.functions.shape[0]
-        args = (
-            jnp.asarray(image_tokens),
-            jnp.asarray(chains.functions),
-            jnp.asarray(chains.deps),
-            jnp.asarray(chains.num_steps),
-        )
+        args = (image_tokens, chains.functions, chains.deps, chains.num_steps)
         if self._data_axis > 1 and n % self._data_axis:
+            # zero-pad ON HOST, before any device transfer
             from explainable_spatial_vqa_tpu.parallel.mesh import pad_to_multiple
 
             args = tuple(pad_to_multiple(a, self._data_axis)[0] for a in args)
-        cache = np.asarray(self._run(*args))[:n]
+        cache = np.asarray(self._run(*(jnp.asarray(a) for a in args)))[:n]
         last = np.asarray(chains.num_steps) - 1
         rows = np.arange(len(last))
         return {"step_outputs": cache, "final_outputs": cache[rows, last]}

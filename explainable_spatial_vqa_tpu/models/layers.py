@@ -266,16 +266,13 @@ class EncoderBlock(nn.Module):
             key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
         weights = pb.fuse_encoder_params(self.variables["params"], dtype=self.dtype)
         x = x.astype(self.dtype)
-        if batch % 2 == 0:
-            y = pb.fused_encoder_block_tiled(
-                x, key_mask, weights, self.num_heads, batch_tile=2,
-                interpret=pb.fused_block_interpret(),
-            )
-        else:
-            y = pb.fused_encoder_block(
-                x, key_mask, weights, self.num_heads,
-                interpret=pb.fused_block_interpret(),
-            )
+        # per-sequence kernel: the faster of the two at every measured
+        # serving batch (see the table in ops/pallas_block.py; the tiled
+        # variant never wins and stays opt-in via direct call)
+        y = pb.fused_encoder_block(
+            x, key_mask, weights, self.num_heads,
+            interpret=pb.fused_block_interpret(),
+        )
         return y[:, :length].astype(self.dtype)
 
 

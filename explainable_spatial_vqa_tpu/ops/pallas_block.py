@@ -66,10 +66,11 @@ __all__ = [
 
 # Global inference dispatch (mirrors ops.attention.use_pallas_attention):
 # when enabled, eligible EncoderBlock calls (post-LN, deterministic,
-# key-padding mask, d_model % 128 == 0) route to the fused Pallas kernel.
-# The serving paths (chained inference, bench) enable this on TPU, where the
-# batch-tiled kernel beats XLA's unfused block at serving batch sizes (see
-# the measurement table below).  Training keeps the XLA path (the kernel
+# key-padding mask, d_model % 128 == 0) route to the fused per-sequence
+# Pallas kernel.  OFF by default everywhere: the measurement table in the
+# module docstring shows XLA bf16 wins at every serving batch size, so this
+# is an opt-in escape hatch for shapes where the balance differs, not a
+# production default.  Training always keeps the XLA path (the kernel
 # defines no VJP).
 _USE_FUSED = False
 _INTERPRET = False  # tests: run the kernel in interpret mode on CPU

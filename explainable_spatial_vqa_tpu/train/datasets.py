@@ -187,6 +187,7 @@ def _parse_question_steps(
             or (not is_box and token_id < 0)
         )
         parsed_steps.append({
+            "function": function,
             "function_id": function_vocab.get(function, 0),
             "is_box": is_box,
             "inputs": list(step.get("inputs", [])),

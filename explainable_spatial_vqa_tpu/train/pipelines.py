@@ -10,6 +10,7 @@ features array by ``image_index``.
 from __future__ import annotations
 
 import logging
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -485,25 +486,37 @@ def _iqap_cot_pipeline(config: ExperimentConfig) -> Pipeline:
 
 class _ImageGather:
     """Batch transform attaching decoded raw images by image_index (for the
-    from-pixels YOLO variant; training_bb_onlyv3.py trains on images)."""
+    from-pixels YOLO variant; training_bb_onlyv3.py trains on images).
 
-    def __init__(self, image_dir: str, size: int = 224):
+    Decoded images are kept in a bounded LRU cache (a full CLEVR train split
+    would otherwise pin ~40 GB of float32 pixels on the host)."""
+
+    def __init__(self, image_dir: str, size: int = 224, cache_images: int = 2048):
         from explainable_spatial_vqa_tpu.vision.extract import collect_image_paths
 
+        if not image_dir:
+            raise ValueError(
+                "this preset trains from raw pixels: pass --image_dir with "
+                "the CLEVR PNG directory (DataConfig.image_dir is empty)"
+            )
         self.paths = collect_image_paths(image_dir)
         self.size = size
-        self._cache: Dict[int, np.ndarray] = {}
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._cache_images = cache_images
 
     def _load(self, idx: int) -> np.ndarray:
-        if idx not in self._cache:
-            from PIL import Image
+        if idx in self._cache:
+            self._cache.move_to_end(idx)
+            return self._cache[idx]
+        from explainable_spatial_vqa_tpu.vision.extract import _decode_resize_pil
 
-            img = Image.open(self.paths[idx])
-            if img.mode != "RGB":
-                img = img.convert("RGB")
-            img = img.resize((self.size, self.size), Image.BICUBIC)
-            self._cache[idx] = np.asarray(img, np.float32) / 255.0
-        return self._cache[idx]
+        arr = _decode_resize_pil(
+            self.paths[idx], (self.size, self.size)
+        ).astype(np.float32) / 255.0
+        self._cache[idx] = arr
+        if len(self._cache) > self._cache_images:
+            self._cache.popitem(last=False)
+        return arr
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         batch = dict(batch)

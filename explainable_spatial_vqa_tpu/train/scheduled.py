@@ -91,8 +91,10 @@ def make_scheduled_loss_fn(model, cfg: ExecutorConfig) -> Callable:
             )
             pred_state = jax.lax.stop_gradient(pred_state)
             p = batch.get("p_sample", jnp.zeros(()))
+            # fold index outside [0, s) U [1000, 1000+s): the per-step
+            # dropout/noise keys use fold_in(rng, k) and fold_in(rng, 1000+k)
             use_pred = jax.random.bernoulli(
-                jax.random.fold_in(rng, 11), p, (n, s)
+                jax.random.fold_in(rng, 100_003), p, (n, s)
             )
             state = ChainState(
                 box_cache=jnp.where(use_pred[..., None, None],
