@@ -220,6 +220,34 @@ def analytic_flops_per_question(gen_cfg, exe_cfg, q_len=46, steps=1):
     return gen_flops + precompute + steps * per_step
 
 
+def plan_buckets(num_steps, batch, bucket_edges, min_tail=32):
+    """Assign questions to (depth, batch-size) compiled-pipeline slots.
+
+    Pure host logic (unit-tested in tests/test_bench_plan.py).  Returns a
+    list of (depth, size, indices, real): ``indices`` has static length
+    ``size`` (tail batches round up to the next power of two >= ``min_tail``
+    instead of padding to ``batch``; padding repeats the last real index)
+    and ``real`` counts the non-padded prefix.  Every question lands in
+    exactly one slot of the shallowest bucket that fits it."""
+    num_steps = np.asarray(num_steps)
+    plan = []
+    assigned = np.zeros(len(num_steps), bool)
+    for depth in bucket_edges:
+        select = (~assigned) & (num_steps <= depth)
+        assigned |= select
+        idx = np.flatnonzero(select)
+        for start in range(0, idx.size, batch):
+            part = idx[start : start + batch]
+            real = part.size
+            size = batch if real == batch else max(
+                min_tail, 1 << (real - 1).bit_length()
+            )
+            if real < size:
+                part = np.concatenate([part, np.repeat(part[-1], size - real)])
+            plan.append((depth, size, part, real))
+    return plan
+
+
 def run_vectorized(n, batch, device):
     import jax
     import jax.numpy as jnp
@@ -253,51 +281,52 @@ def run_vectorized(n, batch, device):
     num_steps_dev = jax.device_put(jnp.asarray(chains.num_steps))
 
     # Depth buckets: one compiled pipeline per ceiling depth, so a 5-step
-    # query never pays for a 27-step comparison's loop tail.  Bucket batches
-    # are padded to full `batch` (repeating indices) to keep shapes static.
+    # query never pays for a 27-step comparison's loop tail.  Each bucket's
+    # TAIL batch compiles at the next power-of-two >= its size instead of
+    # padding to the full `batch`: the per-step TFLOP/s is flat across batch
+    # sizes (~90 TF/s at B=128 and B=512, profile_pipeline.py), so padding a
+    # 200-question depth-27 tail to 512 rows wastes 150% of the most
+    # expensive bucket's work — tail-sized compiles are where the large-batch
+    # configs win back their losses.
     # The WHOLE per-batch pipeline (question gather -> program generation ->
     # feature gather -> chained execution) is one jit per bucket: the axon
     # dispatch round-trip is ~5.5 ms, so the r1 structure (8 eager/jitted
     # calls per batch) paid ~40 ms/batch in tunnel latency alone.
     bucket_edges = (8, 12, 16, 20, max_steps)
-    num_steps_np = np.asarray(chains.num_steps)
-    bucket_fns = {}
-    plan = []  # (depth, device index array (padded), real count)
-    assigned = np.zeros(n, bool)
-    for depth in bucket_edges:
-        select = (~assigned) & (num_steps_np <= depth)
-        assigned |= select
-        idx = np.flatnonzero(select)
-        if idx.size == 0:
-            continue
-        # The big caches and the weights enter as jit ARGUMENTS (device-array
-        # handles), not closure constants: the axon tunnel serializes closure
-        # constants into the compile request body, which overflows its HTTP
-        # limit once the feature cache passes ~100 MB (N >= ~1500).
-        def bucket_step(sel, feats, qs, img_idx, fns, dps, nsteps,
-                        gvars, evars, _depth=depth):
+    bucket_fns = {}  # depth -> jitted pipeline (jit re-specializes per shape)
+
+    # The DATA caches enter as jit ARGUMENTS (device-array handles), not
+    # closure constants: the axon tunnel serializes closure constants
+    # into the compile request body, and the feature cache grows with N
+    # (N=2048 -> ~164 MB -> HTTP 413 on top of the 151 MB of weights).
+    # The weights stay closed over — they're N-independent and constant
+    # folding them avoids per-call pytree-arg overhead on every dispatch.
+    def make_bucket_step(depth):
+        def bucket_step(sel, feats, qs, img_idx, fns, dps, nsteps):
             q = jnp.take(qs, sel, axis=0)
-            programs = generator.apply(gvars, q, method=generator.generate)
+            programs = generator.apply(gen_vars, q, method=generator.generate)
             img = jnp.take(feats, jnp.take(img_idx, sel, axis=0), axis=0)
             state = chained_forward(
-                executor, evars, img,
-                jnp.take(fns, sel, axis=0)[:, :_depth],
-                jnp.take(dps, sel, axis=0)[:, :_depth],
+                executor, exe_vars, img,
+                jnp.take(fns, sel, axis=0)[:, :depth],
+                jnp.take(dps, sel, axis=0)[:, :depth],
                 jnp.take(nsteps, sel, axis=0),
-                exe_cfg, max_steps=_depth,
+                exe_cfg, max_steps=depth,
             )
             return programs, state
 
-        bucket_fns[depth] = jax.jit(bucket_step)
-        for start in range(0, idx.size, batch):
-            part = idx[start : start + batch]
-            real = part.size
-            if real < batch:  # pad to static batch shape
-                part = np.concatenate([part, np.repeat(part[-1], batch - real)])
-            plan.append((depth, jax.device_put(jnp.asarray(part)), real))
+        return jax.jit(bucket_step)
+
+    plan = []
+    for depth, _size, part, real in plan_buckets(
+        chains.num_steps, batch, bucket_edges
+    ):
+        if depth not in bucket_fns:
+            bucket_fns[depth] = make_bucket_step(depth)
+        plan.append((depth, jax.device_put(jnp.asarray(part)), real))
 
     shared = (features_dev, questions_dev, image_index_dev, functions_dev,
-              deps_dev, num_steps_dev, gen_vars, exe_vars)
+              deps_dev, num_steps_dev)
 
     def run_all():
         outs = [bucket_fns[depth](sel, *shared) for depth, sel, _real in plan]
