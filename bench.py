@@ -293,6 +293,7 @@ def run_vectorized(n, batch, device):
     # dispatch round-trip is ~5.5 ms, so the r1 structure (8 eager/jitted
     # calls per batch) paid ~40 ms/batch in tunnel latency alone.
     bucket_edges = (8, 12, 16, 20, max_steps)
+    num_steps_np = np.asarray(chains.num_steps)
     bucket_fns = {}  # depth -> jitted pipeline (jit re-specializes per shape)
 
     # The DATA caches enter as jit ARGUMENTS (device-array handles), not
