@@ -192,7 +192,10 @@ def analytic_flops_per_question(gen_cfg, exe_cfg, q_len=46, steps=1):
         + 2 * h * gen_cfg.program_vocab_size
         + 2 * 2 * q_len * h  # Luong dot-product scores + context
     )
-    gen_flops = q_len * enc_step + gen_cfg.program_len * dec_step
+    # useful decode length for an S-step chain is ~S tokens + END (the
+    # bucketed pipeline decodes depth+2; counting steps+2 keeps bucket
+    # padding out of the "useful" numerator, i.e. mfu stays conservative)
+    gen_flops = q_len * enc_step + min(gen_cfg.program_len, steps + 2) * dec_step
 
     d = exe_cfg.d_model
     L = 1 + exe_cfg.num_image_tokens + exe_cfg.max_input_boxes + 3
@@ -303,9 +306,17 @@ def run_vectorized(n, batch, device):
     # The weights stay closed over — they're N-independent and constant
     # folding them avoids per-call pytree-arg overhead on every dispatch.
     def make_bucket_step(depth):
+        # Program length tracks chain depth (a d-step chain's postfix program
+        # is ~d tokens + END), so each bucket decodes only depth+2 tokens —
+        # the 27-token full-width decode was ~40% of the shallow buckets'
+        # time.  Real serving buckets by question the same way.
+        gen_len = min(gen_cfg.program_len, depth + 2)
+
         def bucket_step(sel, feats, qs, img_idx, fns, dps, nsteps):
             q = jnp.take(qs, sel, axis=0)
-            programs = generator.apply(gen_vars, q, method=generator.generate)
+            programs = generator.apply(
+                gen_vars, q, gen_len, method=generator.generate
+            )
             img = jnp.take(feats, jnp.take(img_idx, sel, axis=0), axis=0)
             state = chained_forward(
                 executor, exe_vars, img,
