@@ -507,7 +507,14 @@ def cmd_tally(args: argparse.Namespace) -> None:
     n, c, h, w = feats.shape
     image_tokens = feats.reshape(n, c, h * w).transpose(0, 2, 1).astype(np.float32)
 
-    runner = ExecutorChainRunner(executor, exe_vars, exe_cfg, max_steps=28)
+    serve_mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from explainable_spatial_vqa_tpu.parallel.mesh import make_mesh
+
+        serve_mesh = make_mesh((-1,), ("data",))
+        logger.info("serving sharded over %d devices", jax.device_count())
+    runner = ExecutorChainRunner(executor, exe_vars, exe_cfg, max_steps=28,
+                                 mesh=serve_mesh)
     pipeline = InferencePipeline(
         generator, gen_vars, runner, program_inv, split_vocab["function"]
     )
@@ -560,7 +567,7 @@ def cmd_tally(args: argparse.Namespace) -> None:
                 calibrated_runner = ExecutorChainRunner(
                     executor, exe_vars,
                     dataclasses.replace(exe_cfg, conf_threshold=conf_threshold),
-                    max_steps=28,
+                    max_steps=28, mesh=serve_mesh,
                 )
                 run_out = calibrated_runner.run(gathered, chains)
         step_tally = tally_predicted_chains(
@@ -643,7 +650,15 @@ def cmd_infer_chain(args: argparse.Namespace) -> None:
     n, c, h, w = feats.shape
     image_tokens = feats.reshape(n, c, h * w).transpose(0, 2, 1)
 
-    runner = Seq2SeqChainRunner(model, variables, model_cfg, max_steps=args.max_steps)
+    mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from explainable_spatial_vqa_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((-1,), ("data",))
+        logger.info("serving sharded over %d devices", jax.device_count())
+    runner = Seq2SeqChainRunner(
+        model, variables, model_cfg, max_steps=args.max_steps, mesh=mesh
+    )
     out = runner.run(image_tokens, chains)
     results = []
     for i, q in enumerate(annotated):
@@ -914,6 +929,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calibrate_conf", action="store_true",
                    help="F1-max confidence-threshold calibration before the "
                         "per-step tally")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard chained inference over all devices "
+                        "(replicated params, batch-sharded loop)")
     p.set_defaults(fn=cmd_tally)
 
     p = sub.add_parser("infer-chain")
@@ -925,6 +943,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=28)
     p.add_argument("--limit", type=int, default=10)
     p.add_argument("--output_json", default=None)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard chained inference over all devices "
+                        "(replicated params, batch-sharded loop)")
     p.set_defaults(fn=cmd_infer_chain)
 
     p = sub.add_parser("stats")
