@@ -192,9 +192,9 @@ def analytic_flops_per_question(gen_cfg, exe_cfg, q_len=46, steps=1):
         + 2 * h * gen_cfg.program_vocab_size
         + 2 * 2 * q_len * h  # Luong dot-product scores + context
     )
-    # useful decode length for an S-step chain is ~S tokens + END (the
-    # bucketed pipeline decodes depth+2; counting steps+2 keeps bucket
-    # padding out of the "useful" numerator, i.e. mfu stays conservative)
+    # useful decode length for an S-step chain is ~S tokens + END; the
+    # pipeline decodes full program_len (it cannot know S pre-generation),
+    # so counting steps+2 keeps the mfu numerator conservative
     gen_flops = q_len * enc_step + min(gen_cfg.program_len, steps + 2) * dec_step
 
     d = exe_cfg.d_model
@@ -228,10 +228,11 @@ def plan_buckets(num_steps, batch, bucket_edges, min_tail=32):
 
     Pure host logic (unit-tested in tests/test_bench_plan.py).  Returns a
     list of (depth, size, indices, real): ``indices`` has static length
-    ``size`` (tail batches round up to the next power of two >= ``min_tail``
-    instead of padding to ``batch``; padding repeats the last real index)
-    and ``real`` counts the non-padded prefix.  Every question lands in
-    exactly one slot of the shallowest bucket that fits it."""
+    ``size`` (tail batches round up to the next power of two >= ``min_tail``,
+    clamped to ``batch``, instead of padding all the way to ``batch``;
+    padding repeats the last real index) and ``real`` counts the non-padded
+    prefix.  Every question lands in exactly one slot of the shallowest
+    bucket that fits it; raises if the edges don't cover the max depth."""
     num_steps = np.asarray(num_steps)
     plan = []
     assigned = np.zeros(len(num_steps), bool)
@@ -242,12 +243,18 @@ def plan_buckets(num_steps, batch, bucket_edges, min_tail=32):
         for start in range(0, idx.size, batch):
             part = idx[start : start + batch]
             real = part.size
-            size = batch if real == batch else max(
-                min_tail, 1 << (real - 1).bit_length()
+            size = batch if real == batch else min(
+                batch, max(min_tail, 1 << (real - 1).bit_length())
             )
             if real < size:
                 part = np.concatenate([part, np.repeat(part[-1], size - real)])
             plan.append((depth, size, part, real))
+    if not assigned.all():
+        raise ValueError(
+            f"{int((~assigned).sum())} questions exceed the deepest bucket "
+            f"edge {max(bucket_edges)} (max num_steps "
+            f"{int(num_steps.max())})"
+        )
     return plan
 
 
@@ -306,17 +313,13 @@ def run_vectorized(n, batch, device):
     # The weights stay closed over — they're N-independent and constant
     # folding them avoids per-call pytree-arg overhead on every dispatch.
     def make_bucket_step(depth):
-        # Program length tracks chain depth (a d-step chain's postfix program
-        # is ~d tokens + END), so each bucket decodes only depth+2 tokens —
-        # the 27-token full-width decode was ~40% of the shallow buckets'
-        # time.  Real serving buckets by question the same way.
-        gen_len = min(gen_cfg.program_len, depth + 2)
-
+        # The generator decodes FULL program_len in every bucket: real
+        # serving cannot know a question's chain depth before generating its
+        # program, so capping decode by the (GT-derived) bucket depth would
+        # be oracle knowledge the baseline doesn't get.
         def bucket_step(sel, feats, qs, img_idx, fns, dps, nsteps):
             q = jnp.take(qs, sel, axis=0)
-            programs = generator.apply(
-                gen_vars, q, gen_len, method=generator.generate
-            )
+            programs = generator.apply(gen_vars, q, method=generator.generate)
             img = jnp.take(feats, jnp.take(img_idx, sel, axis=0), axis=0)
             state = chained_forward(
                 executor, exe_vars, img,

@@ -23,6 +23,22 @@ from explainable_spatial_vqa_tpu.utils.logging import setup_logging
 logger = logging.getLogger("esv.cli")
 
 
+def _serve_mesh(args: argparse.Namespace):
+    """Optional 1-D data mesh for --data_parallel chained serving."""
+    if not getattr(args, "data_parallel", False):
+        return None
+    import jax
+
+    if jax.device_count() < 2:
+        logger.warning("--data_parallel requested but only 1 device is "
+                       "visible; serving unsharded")
+        return None
+    from explainable_spatial_vqa_tpu.parallel.mesh import make_mesh
+
+    logger.info("serving sharded over %d devices", jax.device_count())
+    return make_mesh((-1,), ("data",))
+
+
 def cmd_build_vocab(args: argparse.Namespace) -> None:
     from explainable_spatial_vqa_tpu.core.artifacts import load_questions_json
     from explainable_spatial_vqa_tpu.core.vocab import build_clevr_vocab, save_vocab
@@ -507,12 +523,7 @@ def cmd_tally(args: argparse.Namespace) -> None:
     n, c, h, w = feats.shape
     image_tokens = feats.reshape(n, c, h * w).transpose(0, 2, 1).astype(np.float32)
 
-    serve_mesh = None
-    if args.data_parallel and jax.device_count() > 1:
-        from explainable_spatial_vqa_tpu.parallel.mesh import make_mesh
-
-        serve_mesh = make_mesh((-1,), ("data",))
-        logger.info("serving sharded over %d devices", jax.device_count())
+    serve_mesh = _serve_mesh(args)
     runner = ExecutorChainRunner(executor, exe_vars, exe_cfg, max_steps=28,
                                  mesh=serve_mesh)
     pipeline = InferencePipeline(
@@ -650,14 +661,9 @@ def cmd_infer_chain(args: argparse.Namespace) -> None:
     n, c, h, w = feats.shape
     image_tokens = feats.reshape(n, c, h * w).transpose(0, 2, 1)
 
-    mesh = None
-    if args.data_parallel and jax.device_count() > 1:
-        from explainable_spatial_vqa_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh((-1,), ("data",))
-        logger.info("serving sharded over %d devices", jax.device_count())
     runner = Seq2SeqChainRunner(
-        model, variables, model_cfg, max_steps=args.max_steps, mesh=mesh
+        model, variables, model_cfg, max_steps=args.max_steps,
+        mesh=_serve_mesh(args),
     )
     out = runner.run(image_tokens, chains)
     results = []

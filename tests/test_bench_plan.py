@@ -58,3 +58,19 @@ def test_full_batches_stay_full_and_min_tail_floor():
 def test_exact_multiple_has_no_tail():
     plan = plan_buckets(np.full(256, 5), batch=128, bucket_edges=EDGES)
     assert [(s, r) for _d, s, _p, r in plan] == [(128, 128), (128, 128)]
+
+
+def test_tail_size_clamped_to_batch():
+    # pow2 rounding must never produce slots LARGER than the batch
+    plan = plan_buckets(np.full(70, 5), batch=100, bucket_edges=EDGES)
+    assert [(s, r) for _d, s, _p, r in plan] == [(100, 70)]
+    plan = plan_buckets(np.full(20, 5), batch=16, bucket_edges=EDGES,
+                        min_tail=32)
+    assert [(s, r) for _d, s, _p, r in plan] == [(16, 16), (16, 4)]
+
+
+def test_uncovered_depth_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="exceed the deepest bucket"):
+        plan_buckets(np.asarray([5, 30]), batch=16, bucket_edges=(8, 27))
