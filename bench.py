@@ -427,11 +427,14 @@ def run_reference_style(n_questions, device):
                 token_cache[k] = int(np.argmax(np.asarray(out["token_logits"])[0]))
 
     run_question(0)  # warmup/compile
-    t0 = time.perf_counter()
+    # median per-question time: robust to transient host contention (the
+    # naive total/dt baseline swung ~3x between runs on a busy host)
+    times = []
     for i in range(n_questions):
+        t0 = time.perf_counter()
         run_question(i)
-    dt = time.perf_counter() - t0
-    return n_questions / dt
+        times.append(time.perf_counter() - t0)
+    return 1.0 / float(np.median(times))
 
 
 _PEAK_BF16_TFLOPS = {"v4": 275.0, "v5e": 197.0, "v5p": 459.0, "v6e": 918.0}
