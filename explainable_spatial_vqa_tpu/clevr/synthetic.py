@@ -109,32 +109,80 @@ _QUESTION_TEMPLATES = {
 }
 
 
+def _filter_branch(
+    rng: np.random.RandomState, program: List[Dict[str, Any]]
+) -> "Tuple[int, List[str]]":
+    """Append a 1-2 filter chain rooted at the scene node (index 0); returns
+    (last node index, filter value words)."""
+    parts: List[str] = []
+    prev = 0
+    for _ in range(rng.randint(1, 3)):
+        attr = list(ATTRIBUTE_VALUES)[rng.randint(4)]
+        value = ATTRIBUTE_VALUES[attr][rng.randint(len(ATTRIBUTE_VALUES[attr]))]
+        program.append(_node(f"filter_{attr}", [prev], [value]))
+        prev = len(program) - 1
+        parts.append(value)
+    return prev, parts
+
+
 def random_question(
     rng: np.random.RandomState, scene: Scene, question_index: int
 ) -> Optional[Dict[str, Any]]:
     """A well-typed template question over ``scene`` with a valid answer.
 
-    Templates: [scene] -> 1-2 filters -> {count | exist | unique -> query_*}.
-    Returns None when the sampled program is INVALID on the scene (e.g.
-    unique over a non-singleton set) — the caller resamples.
+    Templates: [scene] -> 1-2 filters -> {count | exist | unique -> query_*},
+    plus the two-branch DAG families [scene] -> branch x2 ->
+    {count x2 -> greater/less/equal_integer | unique+query x2 -> equal_*}
+    (CLEVR's compare_number / compare_attribute question types).  Returns
+    None when the sampled program is INVALID on the scene (e.g. unique over
+    a non-singleton set) — the caller resamples.
     """
     program: List[Dict[str, Any]] = [_node("scene")]
-    filter_parts: List[str] = []
-    for _ in range(rng.randint(1, 3)):
-        attr = list(ATTRIBUTE_VALUES)[rng.randint(4)]
-        value = ATTRIBUTE_VALUES[attr][rng.randint(len(ATTRIBUTE_VALUES[attr]))]
-        program.append(_node(f"filter_{attr}", [len(program) - 1], [value]))
-        filter_parts.append(value)
+    terminal = ["count", "exist", "query", "compare_num", "compare_attr"][
+        rng.randint(5)
+    ]
 
-    terminal = ["count", "exist", "query"][rng.randint(3)]
-    if terminal == "query":
-        program.append(_node("unique", [len(program) - 1]))
-        attr = list(ATTRIBUTE_VALUES)[rng.randint(4)]
-        program.append(_node(f"query_{attr}", [len(program) - 1]))
-        template = _QUESTION_TEMPLATES[f"query_{attr}"]
+    if terminal in ("compare_num", "compare_attr"):
+        i1, f1 = _filter_branch(rng, program)
+        i2, f2 = _filter_branch(rng, program)
+        t1, t2 = " ".join(f1), " ".join(f2)
+        if terminal == "compare_num":
+            program.append(_node("count", [i1]))
+            c1 = len(program) - 1
+            program.append(_node("count", [i2]))
+            c2 = len(program) - 1
+            op = ["greater_than", "less_than", "equal_integer"][rng.randint(3)]
+            program.append(_node(op, [c1, c2]))
+            question = {
+                "greater_than": f"are there more {t1} things than {t2} things",
+                "less_than": f"are there fewer {t1} things than {t2} things",
+                "equal_integer": (
+                    f"are there the same number of {t1} things as {t2} things"
+                ),
+            }[op]
+        else:
+            attr = list(ATTRIBUTE_VALUES)[rng.randint(4)]
+            program.append(_node("unique", [i1]))
+            program.append(_node(f"query_{attr}", [len(program) - 1]))
+            q1 = len(program) - 1
+            program.append(_node("unique", [i2]))
+            program.append(_node(f"query_{attr}", [len(program) - 1]))
+            q2 = len(program) - 1
+            program.append(_node(f"equal_{attr}", [q1, q2]))
+            question = (
+                f"does the {t1} thing have the same {attr} as the {t2} thing"
+            )
     else:
-        program.append(_node(terminal, [len(program) - 1]))
-        template = _QUESTION_TEMPLATES[terminal]
+        prev, filter_parts = _filter_branch(rng, program)
+        if terminal == "query":
+            program.append(_node("unique", [prev]))
+            attr = list(ATTRIBUTE_VALUES)[rng.randint(4)]
+            program.append(_node(f"query_{attr}", [len(program) - 1]))
+            template = _QUESTION_TEMPLATES[f"query_{attr}"]
+        else:
+            program.append(_node(terminal, [prev]))
+            template = _QUESTION_TEMPLATES[terminal]
+        question = template.format(f=" ".join(filter_parts))
 
     outputs = execute_program(scene, program)
     if len(outputs) < len(program) or outputs[-1] == INVALID:
@@ -147,7 +195,7 @@ def random_question(
     return {
         "image_index": scene.image_index,
         "question_index": question_index,
-        "question": template.format(f=" ".join(filter_parts)) + "?",
+        "question": question + "?",
         "answer": answer,
         "program": program,
         "question_family_index": 0,

@@ -377,20 +377,25 @@ def cmd_eval_generator(args: argparse.Namespace) -> None:
 
     generate = jax.jit(lambda q: model.apply(variables, q, method=model.generate))
 
-    def batched(fn):
+    def batched(fn, *columns):
+        """Apply fn over full batches plus a PADDED tail batch, so every
+        sample is scored (a dropped tail of an ordered question file is a
+        biased exclusion); padding repeats the last row and is sliced off."""
         outputs = []
         bs = args.batch_size
-        for start in range(0, len(questions) - len(questions) % bs or bs, bs):
-            chunk = questions[start : start + bs]
-            if len(chunk) < bs:
-                break
-            outputs.append(np.asarray(fn(jnp.asarray(chunk))))
-        if not outputs:
-            outputs.append(np.asarray(fn(jnp.asarray(questions))))
-        return np.concatenate(outputs)[: len(programs)]
+        n = len(columns[0])
+        for start in range(0, n, bs):
+            chunk = [col[start : start + bs] for col in columns]
+            if len(chunk[0]) < bs:
+                chunk = [
+                    np.concatenate([c, np.repeat(c[-1:], bs - len(c), axis=0)])
+                    for c in chunk
+                ]
+            outputs.append(np.asarray(fn(*(jnp.asarray(c) for c in chunk))))
+        return np.concatenate(outputs)[:n]
 
-    pred = batched(generate)
-    acc = program_accuracy(pred, programs[: len(pred)])
+    pred = batched(generate, questions)
+    acc = program_accuracy(pred, programs)
 
     if args.compare_tf:
         # teacher-forced decode (gold prefix fed at every step) alongside
@@ -400,20 +405,8 @@ def cmd_eval_generator(args: argparse.Namespace) -> None:
                 variables, q, p, deterministic=True, teacher_forcing=1.0
             )["tokens"]
         )
-        tf_outputs = []
-        bs = args.batch_size
-        for start in range(0, len(questions), bs):
-            chunk_q = questions[start : start + bs]
-            chunk_p = programs[start : start + bs]
-            if len(chunk_q) < bs:
-                break
-            tf_outputs.append(np.asarray(tf_forward(jnp.asarray(chunk_q),
-                                                    jnp.asarray(chunk_p))))
-        if not tf_outputs:  # fewer questions than one batch
-            tf_outputs.append(np.asarray(tf_forward(jnp.asarray(questions),
-                                                    jnp.asarray(programs))))
-        tf_pred = np.concatenate(tf_outputs)
-        acc["teacher_forced"] = program_accuracy(tf_pred, programs[: len(tf_pred)])
+        tf_pred = batched(tf_forward, questions, programs)
+        acc["teacher_forced"] = program_accuracy(tf_pred, programs)
 
     if args.beam_size and args.beam_size > 1:
         beam = jax.jit(
@@ -421,8 +414,8 @@ def cmd_eval_generator(args: argparse.Namespace) -> None:
                 variables, q, beam_size=args.beam_size, method=model.beam_generate
             )[0][:, 0]  # best beam
         )
-        beam_pred = batched(beam)
-        beam_acc = program_accuracy(beam_pred, programs[: len(beam_pred)])
+        beam_pred = batched(beam, questions)
+        beam_acc = program_accuracy(beam_pred, programs)
         beam_acc["beam_size"] = args.beam_size
         acc["beam"] = beam_acc
 

@@ -242,7 +242,10 @@ class TrainConfig:
     checkpoint_interval: int = 10
     log_every: int = 50
     eval_every: int = 1
-    dtype: str = "bfloat16"  # compute dtype; params stay float32
+    # compute dtype for model matmuls; params/softmax/layernorm stay float32.
+    # "auto" = bfloat16 on TPU (the production convention), float32 elsewhere
+    # (CPU bf16 is emulated and slow).  Consumed by train.pipelines.
+    dtype: str = "auto"
     mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the data axis
     mesh_axes: Tuple[str, ...] = ("data",)
     seed: int = 42

@@ -99,22 +99,27 @@ class DetectionTally:
 
 def calibrate_conf_threshold(
     confidences: "np.ndarray", is_true_positive_at: "np.ndarray",
-    thresholds: "np.ndarray" = None,
+    thresholds: "np.ndarray" = None, total_gt: int = None,
 ):
     """Pick the confidence threshold maximizing box F1 on a validation set.
 
     ``confidences``: flat (N,) predicted confidences; ``is_true_positive_at``:
     (N,) bool — whether that prediction matches an unclaimed GT at IoU>=0.5
-    (from greedy matching with threshold 0 applied first).  Returns
-    (best_threshold, best_f1).  The thesis fixes 0.5 (Table 4.1); this tunes
-    it per checkpoint — box-quality-sensitive functions (count/exist) are
+    (from greedy matching with threshold 0 applied first).  ``total_gt``
+    must be the TOTAL ground-truth box count (including GT no prediction
+    matched at any threshold — they are permanent false negatives); when
+    omitted it falls back to the matched-GT count, which inflates recall
+    and biases the scan toward precision.  Returns (best_threshold,
+    best_f1).  The thesis fixes 0.5 (Table 4.1); this tunes it per
+    checkpoint — box-quality-sensitive functions (count/exist) are
     sensitive to calibration at chained inference.
     """
     import numpy as np
 
     if thresholds is None:
         thresholds = np.linspace(0.05, 0.95, 19)
-    total_gt = int(np.sum(is_true_positive_at))  # each TP corresponds to one GT
+    if total_gt is None:
+        total_gt = int(np.sum(is_true_positive_at))
     best = (0.5, -1.0)
     for t in thresholds:
         keep = confidences >= t

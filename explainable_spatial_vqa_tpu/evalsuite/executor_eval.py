@@ -139,12 +139,14 @@ def calibrate_chain_conf_threshold(
 
     confs = []
     tps = []
+    total_gt = 0
     for i, q in enumerate(annotated):
         parsed = _parse_question_steps(q, function_vocab, value_vocab)
         for k, p in enumerate(parsed[:max_steps]):
             if not p["is_box"] or not p["valid"]:
                 continue
             gt_boxes = p["target_boxes"]
+            total_gt += len(gt_boxes)
             conf = run_out["conf_cache"][i, k]
             pred = run_out["box_cache"][i, k]
             order = np.argsort(-conf)
@@ -162,4 +164,6 @@ def calibrate_chain_conf_threshold(
                 tps.append(hit)
     if not confs:
         return 0.5, 0.0
-    return calibrate_conf_threshold(np.asarray(confs), np.asarray(tps))
+    return calibrate_conf_threshold(
+        np.asarray(confs), np.asarray(tps), total_gt=total_gt
+    )

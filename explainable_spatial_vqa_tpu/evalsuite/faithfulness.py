@@ -59,9 +59,25 @@ def tally_faithfulness(
     pred_answers = np.asarray(pred_answers)
     gt_answers = np.asarray(gt_answers)
     answer_ok = pred_answers == gt_answers
-    eq = np.asarray(pred_programs) == np.asarray(gt_programs)
+    pred_programs = np.asarray(pred_programs)
+    gt_programs = np.asarray(gt_programs)
+    # widths may differ (each side is padded to its OWN corpus max, e.g.
+    # generator trained on split A scoring split B) — zero-pad to a common
+    # width so trailing pads compare equal instead of crashing the broadcast
+    width = max(pred_programs.shape[1], gt_programs.shape[1])
+
+    def pad(arr):
+        if arr.shape[1] == width:
+            return arr
+        return np.pad(arr, ((0, 0), (0, width - arr.shape[1])))
+
+    pred_programs, gt_programs = pad(pred_programs), pad(gt_programs)
+    eq = pred_programs == gt_programs
     if program_mask is not None:
-        eq = np.where(np.asarray(program_mask), eq, True)
+        mask = np.asarray(program_mask)
+        if mask.shape[1] < width:  # padded positions are ignored
+            mask = np.pad(mask, ((0, 0), (0, width - mask.shape[1])))
+        eq = np.where(mask, eq, True)
     program_ok = eq.all(axis=-1)
 
     tally = FaithfulnessTally()

@@ -19,6 +19,7 @@ inference_transformer_iqap_tally.py:279-357).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Any, Dict, List, Mapping, Optional, Sequence
 
@@ -31,6 +32,8 @@ from explainable_spatial_vqa_tpu.core.tokenizer import END, NULL, START
 from explainable_spatial_vqa_tpu.evalsuite.faithfulness import FaithfulnessTally, tally_faithfulness
 from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
 from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["decode_program_ids", "programs_to_chains", "InferencePipeline"]
 
@@ -81,15 +84,23 @@ def programs_to_chains(
     functions = np.zeros((n, max_steps), np.int32)
     deps = np.full((n, max_steps, 2), -1, np.int64)
     num_steps = np.ones(n, np.int32)
+    truncated = 0
     for i, program in enumerate(programs):
         if not program:
             continue
+        truncated += int(len(program) > max_steps)
         program = list(program)[:max_steps]
         num_steps[i] = len(program)
         for s, node in enumerate(program):
             functions[i, s] = function_vocab.get(prog.function_token(node), 0)
             for d, dep in enumerate(node.get("inputs", [])[:2]):
                 deps[i, s, d] = dep
+    if truncated:
+        logger.warning(
+            "programs_to_chains: %d generated programs exceed max_steps=%d "
+            "and were truncated (their answers will read a mid-chain value)",
+            truncated, max_steps,
+        )
     return ChainArrays(np.asarray(image_index, np.int32), functions, deps, num_steps, [])
 
 

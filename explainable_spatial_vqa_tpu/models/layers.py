@@ -82,7 +82,11 @@ def posemb_2d_sincos_at(xy: jnp.ndarray, d_model: int, temperature: float = 1000
     )  # (half/2,)
     coords = xy[..., None] * 14.0  # (..., 2, 1) nominal grid scale
     angles = coords * freqs  # (..., 2, half/2)
-    emb = jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1)  # (..., 2, half)
+    # INTERLEAVE sin/cos per frequency ([sin f0, cos f0, sin f1, ...]) to
+    # match sinusoidal_positions' channel layout — a box token at (x, y)
+    # then aligns channel-for-channel with the image patch at (x, y)
+    emb = jnp.stack([jnp.sin(angles), jnp.cos(angles)], axis=-1)
+    emb = emb.reshape(emb.shape[:-3] + (2, half))  # (..., 2, half)
     return emb.reshape(emb.shape[:-2] + (d_model,))
 
 

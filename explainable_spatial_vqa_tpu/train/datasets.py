@@ -142,11 +142,17 @@ def _parse_question_steps(
     for step in q["annotated_program"]:
         function = step["function"]
         converted = False
+        unresolved = False
         if function not in function_vocab and function.strip().isdigit():
             fid = int(function)
             if fid in inv_function:
                 function = inv_function[fid]
                 converted = True
+            else:
+                # a converted record whose id the given vocab does not know
+                # (vocab mismatch): the step's branch/targets are
+                # unknowable — keep its position but never train/score on it
+                unresolved = True
         base = function.split("[")[0]
         is_box = base not in NON_SPATIAL_FUNCTIONS
         out_text = step["output_values"].strip()
@@ -183,7 +189,8 @@ def _parse_question_steps(
             step_outputs.append(("token", token_id))
 
         valid = not (
-            (is_box and len(target_boxes) == 0 and out_text == "")
+            unresolved
+            or (is_box and len(target_boxes) == 0 and out_text == "")
             or (not is_box and token_id < 0)
         )
         parsed_steps.append({
@@ -268,6 +275,17 @@ def executor_step_arrays(
             records["is_box_branch"].append(parsed["is_box"])
 
     total = len(records["image_index"])
+    total_steps = sum(len(q["annotated_program"]) for q in annotated_questions)
+    if total_steps and total < total_steps // 2:
+        # >half the steps failed the parse rules — almost always a vocab
+        # mismatch (converted h5 scored against the wrong split_vocab_json)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "executor_step_arrays: only %d of %d annotated steps are usable "
+            "— check that the vocab JSONs match the annotated h5",
+            total, total_steps,
+        )
     if subset_fraction < 1.0:
         total = int(total * subset_fraction)
     out = {
@@ -390,7 +408,9 @@ def chain_arrays(
     image_index = np.zeros(n, np.int32)
     answers: List[str] = []
     inv = {v: k for k, v in function_vocab.items()}
+    truncated = 0
     for i, q in enumerate(annotated_questions):
+        truncated += int(len(q["annotated_program"]) > max_steps)
         program = q["annotated_program"][:max_steps]
         num_steps[i] = len(program)
         image_index[i] = q["image_index"]
@@ -403,6 +423,15 @@ def chain_arrays(
                 functions[i, s] = function_vocab.get(fn, 0)
             for d, dep in enumerate(step.get("inputs", [])[:2]):
                 deps[i, s, d] = dep
+    if truncated:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "chain_arrays: %d questions exceed max_steps=%d and were "
+            "TRUNCATED — their final step is a mid-chain value, so their "
+            "answers will score wrong; raise max_steps to cover them",
+            truncated, max_steps,
+        )
     return ChainArrays(image_index, functions, deps, num_steps, answers)
 
 

@@ -128,7 +128,7 @@ def _generator_pipeline(config: ExperimentConfig) -> Pipeline:
         program_len=enc.programs.shape[1],
     )
     config = config.replace(model=cfg)
-    model = ProgramGenerator(config.model)
+    model = ProgramGenerator(config.model, dtype=model_dtype(config))
     init_rngs = {"params": jax.random.PRNGKey(config.train.seed),
                  "sample": jax.random.PRNGKey(config.train.seed + 1)}
     variables = model.init(init_rngs, jnp.asarray(enc.questions[:2]),
@@ -149,6 +149,18 @@ def _generator_pipeline(config: ExperimentConfig) -> Pipeline:
                     ("program_em", "program_em_total"), spe)
 
 
+def model_dtype(config: ExperimentConfig):
+    """Resolve TrainConfig.dtype to a jnp dtype for model construction.
+
+    "auto" follows the repo convention (CLAUDE.md): bfloat16 compute on TPU,
+    float32 elsewhere; params/softmax/layernorm stay fp32 inside the models
+    regardless."""
+    name = config.train.dtype
+    if name == "auto":
+        name = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    return jnp.dtype(name)
+
+
 def _iqap_pipeline(config: ExperimentConfig) -> Pipeline:
     enc = read_questions_h5(config.data.questions_h5)
     arrays = {
@@ -164,13 +176,20 @@ def _iqap_pipeline(config: ExperimentConfig) -> Pipeline:
         from explainable_spatial_vqa_tpu.core.artifacts import read_scenes_h5
 
         scenes = read_scenes_h5(config.data.scenes_h5)
-        # CLEVR image indices are dense 0..N-1; sort rows into index order
-        order = np.argsort(scenes["image_index"])
-        boxes_by_image = scenes["bounding_boxes"][order]
-        labels_by_image = scenes["class_labels"][order]
+        # map by image_index VALUE, not row position: a scenes h5 exported
+        # from a filtered/offset split is not dense 0..N-1, and positional
+        # indexing would silently pair questions with other images' boxes
+        row_of = {int(v): i for i, v in enumerate(scenes["image_index"])}
+        missing = sorted({int(i) for i in enc.image_idxs} - set(row_of))
+        if missing:
+            raise ValueError(
+                f"scenes_h5 lacks image indices {missing[:5]}"
+                f"{'...' if len(missing) > 5 else ''} referenced by questions"
+            )
+        rows = np.asarray([row_of[int(i)] for i in enc.image_idxs])
         slots = config.model.num_bbox_slots
-        gt = boxes_by_image[enc.image_idxs][:, :slots]
-        gt_mask = (labels_by_image[enc.image_idxs][:, :slots] > 0)
+        gt = scenes["bounding_boxes"][rows][:, :slots]
+        gt_mask = (scenes["class_labels"][rows][:, :slots] > 0)
         pad = slots - gt.shape[1]
         if pad > 0:
             gt = np.pad(gt, ((0, 0), (0, pad), (0, 0)))
@@ -178,7 +197,7 @@ def _iqap_pipeline(config: ExperimentConfig) -> Pipeline:
         arrays["target_boxes"] = gt.astype(np.float32)
         arrays["target_box_mask"] = gt_mask
     gather = _FeatureGather(config.data.features_h5, as_tokens=True)
-    model = TransformerIQAP(config.model)
+    model = TransformerIQAP(config.model, dtype=model_dtype(config))
     cfg = config.model
     dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
     variables = model.init(
@@ -226,7 +245,7 @@ def _lstm_iqap_pipeline(config: ExperimentConfig) -> Pipeline:
     if cfg.with_program_decoder and enc.programs is not None:
         arrays["programs"] = enc.programs
     gather = _FeatureGather(config.data.features_h5, as_tokens=False)
-    model = LstmIQAP(cfg)
+    model = LstmIQAP(cfg, dtype=model_dtype(config))
     dummy_img = jnp.zeros((2, cfg.image_feature_dim, *cfg.image_spatial))
     targets = jnp.asarray(enc.programs[:2]) if cfg.with_program_decoder else None
     variables = model.init(
@@ -261,7 +280,7 @@ def _step_seq2seq_pipeline(config: ExperimentConfig) -> Pipeline:
         subset_fraction=config.data.subset_fraction,
     )
     gather = _FeatureGather(config.data.features_h5, as_tokens=True)
-    model = StepExecutorSeq2Seq(config.model)
+    model = StepExecutorSeq2Seq(config.model, dtype=model_dtype(config))
     cfg = config.model
     dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
     variables = model.init(
@@ -305,7 +324,7 @@ def _executor_pipeline(config: ExperimentConfig) -> Pipeline:
         subset_fraction=config.data.subset_fraction,
     )
     gather = _FeatureGather(config.data.features_h5, as_tokens=True)
-    model = ProgramExecutor(cfg)
+    model = ProgramExecutor(cfg, dtype=model_dtype(config))
     dummy = (
         jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim)),
         jnp.zeros((2, cfg.max_input_boxes, 4)),
@@ -380,7 +399,7 @@ def _executor_scheduled_pipeline(config: ExperimentConfig) -> Pipeline:
         subset_fraction=config.data.subset_fraction,
     )
     gather = _FeatureGather(config.data.features_h5, as_tokens=True)
-    model = ProgramExecutor(cfg)
+    model = ProgramExecutor(cfg, dtype=model_dtype(config))
     dummy = (
         jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim)),
         jnp.zeros((2, cfg.max_input_boxes, 4)),
@@ -454,7 +473,7 @@ def _iqap_cot_pipeline(config: ExperimentConfig) -> Pipeline:
         "image_index": mapped["image_index"].astype(np.int32),
     }
     gather = _FeatureGather(config.data.features_h5, as_tokens=True)
-    model = TransformerIQAP(cfg)
+    model = TransformerIQAP(cfg, dtype=model_dtype(config))
     dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
     variables = model.init(
         jax.random.PRNGKey(config.train.seed), dummy_img,
@@ -593,7 +612,8 @@ def _prototype_step_pipeline(config: ExperimentConfig) -> Pipeline:
         model = proto.TokenOnlyPredictor(
             token_vocab_size=cfg.token_vocab_size,
             function_vocab_size=cfg.function_vocab_size,
-            max_input_boxes=cfg.max_input_boxes)
+            max_input_boxes=cfg.max_input_boxes,
+            dtype=model_dtype(config))
         dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
         variables = model.init(rng0, dummy_img, b2("text")[:, 0], b2("input_boxes"))
 
@@ -613,7 +633,8 @@ def _prototype_step_pipeline(config: ExperimentConfig) -> Pipeline:
         model = proto.BBoxOnlyPredictor(
             max_output_boxes=cfg.max_output_boxes,
             function_vocab_size=cfg.function_vocab_size,
-            max_input_boxes=cfg.max_input_boxes)
+            max_input_boxes=cfg.max_input_boxes,
+            dtype=model_dtype(config))
         dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
         variables = model.init(rng0, dummy_img, b2("text")[:, 0], b2("input_boxes"))
 
@@ -644,7 +665,8 @@ def _prototype_step_pipeline(config: ExperimentConfig) -> Pipeline:
             max_output_boxes=cfg.max_output_boxes,
             token_vocab_size=cfg.token_vocab_size,
             function_vocab_size=cfg.function_vocab_size,
-            max_input_boxes=cfg.max_input_boxes)
+            max_input_boxes=cfg.max_input_boxes,
+            dtype=model_dtype(config))
         dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
         variables = model.init(rng0, dummy_img, b2("text")[:, 0], b2("input_boxes"))
 
@@ -667,7 +689,8 @@ def _prototype_step_pipeline(config: ExperimentConfig) -> Pipeline:
     elif kind == "selection":
         model = proto.BBoxSelectionPredictor(
             function_vocab_size=cfg.function_vocab_size,
-            max_input_boxes=cfg.max_input_boxes)
+            max_input_boxes=cfg.max_input_boxes,
+            dtype=model_dtype(config))
         dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
         variables = model.init(rng0, dummy_img, b2("text")[:, 0], b2("input_boxes"))
 
@@ -690,7 +713,8 @@ def _prototype_step_pipeline(config: ExperimentConfig) -> Pipeline:
             vocab_size=cfg.vocab_size,
             image_feat_dim=cfg.image_feature_dim,
             image_spatial=tuple(cfg.image_spatial),
-            max_bbox_steps=cfg.max_output_boxes)
+            max_bbox_steps=cfg.max_output_boxes,
+            dtype=model_dtype(config))
         dummy_img = jnp.zeros((2, cfg.image_feature_dim, *cfg.image_spatial))
         variables = model.init(
             {"params": rng0, "sample": jax.random.fold_in(rng0, 1)},
@@ -744,7 +768,8 @@ def _prototype_step_pipeline(config: ExperimentConfig) -> Pipeline:
         model = proto.HierarchicalGenerator(
             num_image_tokens=cfg.num_image_tokens,
             image_feature_dim=cfg.image_feature_dim,
-            max_inner_steps=cfg.max_output_boxes)
+            max_inner_steps=cfg.max_output_boxes,
+            dtype=model_dtype(config))
         dummy_img = jnp.zeros((2, cfg.num_image_tokens, cfg.image_feature_dim))
         variables = model.init(rng0, dummy_img, b2("target_boxes"))
 
@@ -776,7 +801,7 @@ def _prototype_step_pipeline(config: ExperimentConfig) -> Pipeline:
         monitor = ("type_correct", "type_total")
 
     elif kind == "yolo":
-        model = proto.YoloDetector(grid=cfg.grid)
+        model = proto.YoloDetector(grid=cfg.grid, dtype=model_dtype(config))
         dummy_img = jnp.zeros((2, cfg.image_size, cfg.image_size, 3))
         variables = model.init(rng0, dummy_img)
 

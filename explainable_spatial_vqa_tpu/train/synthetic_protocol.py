@@ -198,7 +198,7 @@ def train_executor_scheduled_synthetic(
     seed: int = 0,
     p_max: float = 0.5,
     ramp_fraction: float = 0.5,
-    max_steps: int = 8,
+    max_steps: int = 12,
     config: Optional[ExecutorConfig] = None,
     init_variables: Optional[Dict] = None,
     log_every: int = 100,
@@ -275,7 +275,7 @@ def evaluate_pipeline_synthetic(
     features: np.ndarray,
     clevr_vocab: Dict,
     split_vocab: Dict,
-    max_steps: int = 8,
+    max_steps: int = 12,
 ) -> Tuple[object, Dict[str, float]]:
     """Full generate→parse→chained-execute→answer pass.
 

@@ -201,11 +201,25 @@ class Trainer:
                 self.best_metric = float(restored["best_metric"])
                 self.stale_epochs = int(restored["stale_epochs"])
                 start_epoch = int(self.state.epoch)
-                logger.info("resumed from epoch %d", start_epoch)
+                # reload the on-disk best snapshot too: otherwise a resumed
+                # run whose validation never re-beats the restored
+                # best_metric would end with best_params=None and
+                # evaluate_best would silently score the FINAL params
+                best = self.store.restore_best(
+                    {"params": jax.device_get(self.state.params)}
+                )
+                if best is not None:
+                    self.best_params = best["params"]
+                logger.info("resumed from epoch %d%s", start_epoch,
+                            "" if best is None else " (best snapshot reloaded)")
 
         history = {"train": [], "val": []}
         for epoch in range(start_epoch, num_epochs):
-            rng, train_rng, eval_rng = jax.random.split(rng, 3)
+            # epoch-keyed (not sequentially split) so a resumed run uses the
+            # SAME dropout/augmentation keys an uninterrupted run would use
+            # at this epoch, instead of replaying epoch 0's sequence
+            epoch_rng = jax.random.fold_in(rng, epoch)
+            train_rng, eval_rng = jax.random.split(epoch_rng)
             t0 = time.time()
             train_acc = self.train_epoch(train_batches(epoch), train_rng)
             history["train"].append(train_acc.totals)

@@ -77,7 +77,7 @@ def main():
     def evaluate(tag, executor, exe_vars, exe_cfg):
         tally, acc = evaluate_pipeline_synthetic(
             generator, gen_vars, executor, exe_vars, exe_cfg,
-            eval_q, features, clevr_vocab, split_vocab, max_steps=8)
+            eval_q, features, clevr_vocab, split_vocab, max_steps=12)
         print(f"  [{tag}] overall={acc.get('overall', float('nan')):.3f} "
               + " ".join(f"{k}={v:.3f}" for k, v in acc.items() if k != "overall"))
         return acc

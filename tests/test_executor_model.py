@@ -208,3 +208,21 @@ def test_sinkhorn_tau_sharpens():
     sharp = np.asarray(sinkhorn_assignment(cost, mask, n_iters=200, tau=0.01))
     agreement = (exact == sharp).mean()
     assert agreement >= 0.9, agreement
+
+
+def test_posemb_at_grid_centers_matches_grid_table():
+    """posemb_2d_sincos_at evaluated AT a grid cell must equal that cell's
+    row of the grid table channel-for-channel (the alignment that lets box
+    tokens attend to their image patch; thesis p.17-18)."""
+    from explainable_spatial_vqa_tpu.models.layers import (
+        posemb_2d_sincos,
+        posemb_2d_sincos_at,
+    )
+
+    d = 64
+    grid = posemb_2d_sincos(14, 14, d).reshape(14, 14, d)
+    cells = [(0, 0), (3, 7), (13, 13)]
+    xy = jnp.asarray([[c / 14.0, r / 14.0] for r, c in cells], jnp.float32)
+    at = np.asarray(posemb_2d_sincos_at(xy, d))
+    for i, (r, c) in enumerate(cells):
+        np.testing.assert_allclose(at[i], grid[r, c], atol=1e-5)
