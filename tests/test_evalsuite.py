@@ -30,6 +30,20 @@ def test_faithfulness_quadrants():
     assert abs(sum(f.values()) - 1.0) < 1e-9
 
 
+def test_faithfulness_mismatched_program_widths():
+    """Pred/GT padded to different corpus maxima (e.g. CoGenT cross-split
+    scoring) must compare over a common zero-padded width, not crash."""
+    pred_a = np.asarray([1, 1])
+    gt_a = np.asarray([1, 2])
+    pred_p = np.asarray([[5, 6], [5, 6]])  # width 2
+    gt_p = np.asarray([[5, 6, 0], [5, 6, 7]])  # width 3
+    t = tally_faithfulness(pred_a, gt_a, pred_p, gt_p)
+    # row 0: programs equal after zero-padding; row 1: gt has a real 3rd
+    # token the narrower prediction could not emit -> program wrong
+    assert t.both_correct == 1
+    assert t.neither == 1
+
+
 def test_question_type():
     assert question_type("count") == "count"
     assert question_type("exist") == "exist"
