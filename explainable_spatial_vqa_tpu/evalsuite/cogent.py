@@ -97,7 +97,7 @@ def run_cogent_protocol(
     noise: float = 0.0,
     drop: float = 0.0,
     seed: int = 0,
-    max_chain_steps: int = 8,
+    max_chain_steps: int = 12,  # covers the 10-node two-branch compare programs
 ) -> Dict:
     """Execute the full four-cell CoGenT protocol end-to-end (thesis §4.2.2 /
     Table 4.6): train generator+executor on condition A, evaluate on valA and

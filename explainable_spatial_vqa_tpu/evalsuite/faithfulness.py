@@ -75,8 +75,14 @@ def tally_faithfulness(
     eq = pred_programs == gt_programs
     if program_mask is not None:
         mask = np.asarray(program_mask)
-        if mask.shape[1] < width:  # padded positions are ignored
-            mask = np.pad(mask, ((0, 0), (0, width - mask.shape[1])))
+        if mask.shape[1] < width:
+            # positions beyond the mask's width compare NORMALLY (pad with
+            # True): a wider prediction's extra real tokens must count
+            # against it, not be silently ignored
+            mask = np.pad(
+                mask, ((0, 0), (0, width - mask.shape[1])),
+                constant_values=True,
+            )
         eq = np.where(mask, eq, True)
     program_ok = eq.all(axis=-1)
 

@@ -22,6 +22,7 @@ Three consumers:
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Any, Dict, List, Mapping, Sequence, Tuple
 
@@ -29,6 +30,8 @@ import numpy as np
 
 from explainable_spatial_vqa_tpu.clevr.executor import NON_SPATIAL_FUNCTIONS
 from explainable_spatial_vqa_tpu.core.vocab import canonicalize
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "SPECIALS_OFFSET",
@@ -279,9 +282,7 @@ def executor_step_arrays(
     if total_steps and total < total_steps // 2:
         # >half the steps failed the parse rules — almost always a vocab
         # mismatch (converted h5 scored against the wrong split_vocab_json)
-        import logging
-
-        logging.getLogger(__name__).warning(
+        logger.warning(
             "executor_step_arrays: only %d of %d annotated steps are usable "
             "— check that the vocab JSONs match the annotated h5",
             total, total_steps,
@@ -363,9 +364,7 @@ def executor_chain_step_arrays(
         records["is_box_branch"].append(is_box)
         records["step_valid"].append(valid)
     if skipped:
-        import logging
-
-        logging.getLogger(__name__).warning(
+        logger.warning(
             "executor_chain_step_arrays: skipped %d questions longer than "
             "max_steps=%d", skipped, max_steps,
         )
@@ -424,9 +423,7 @@ def chain_arrays(
             for d, dep in enumerate(step.get("inputs", [])[:2]):
                 deps[i, s, d] = dep
     if truncated:
-        import logging
-
-        logging.getLogger(__name__).warning(
+        logger.warning(
             "chain_arrays: %d questions exceed max_steps=%d and were "
             "TRUNCATED — their final step is a mid-chain value, so their "
             "answers will score wrong; raise max_steps to cover them",

@@ -157,7 +157,10 @@ def model_dtype(config: ExperimentConfig):
     regardless."""
     name = config.train.dtype
     if name == "auto":
-        name = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        # "axon" is the sandbox's remote-TPU backend (same idiom as
+        # ops.pallas_attention.pallas_available)
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        name = "bfloat16" if on_tpu else "float32"
     return jnp.dtype(name)
 
 

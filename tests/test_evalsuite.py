@@ -43,6 +43,15 @@ def test_faithfulness_mismatched_program_widths():
     assert t.both_correct == 1
     assert t.neither == 1
 
+    # a WIDER prediction's extra real tokens count against it even when a
+    # (narrower) program_mask is supplied — mask pads with True, not False
+    t2 = tally_faithfulness(
+        np.asarray([1]), np.asarray([1]),
+        np.asarray([[5, 6, 9]]), np.asarray([[5, 6]]),
+        program_mask=np.asarray([[True, True]]),
+    )
+    assert t2.answer_only == 1  # program wrong: trailing 9 vs pad
+
 
 def test_question_type():
     assert question_type("count") == "count"
