@@ -438,7 +438,14 @@ def run_reference_style(n_questions, device):
             t0 = time.perf_counter()
             run_question(i)
             best[i] = min(best[i], time.perf_counter() - t0)
-    return n_questions / float(best.sum())
+    qps = n_questions / float(best.sum())
+    # leave-one-out jackknife SE of the ratio statistic n/sum(t): question
+    # costs vary systematically with chain depth, so this is the right
+    # spread estimator for the headline vs_baseline denominator
+    total = float(best.sum())
+    loo = (n_questions - 1) / (total - best)
+    se = float(np.sqrt((n_questions - 1) / n_questions * np.sum((loo - loo.mean()) ** 2)))
+    return qps, se
 
 
 _PEAK_BF16_TFLOPS = {"v4": 275.0, "v5e": 197.0, "v5p": 459.0, "v6e": 918.0}
@@ -457,7 +464,7 @@ def main():
 
     n = int(os.environ.get("BENCH_N", "1024"))
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    baseline_n = int(os.environ.get("BENCH_BASELINE_N", "8"))
+    baseline_n = int(os.environ.get("BENCH_BASELINE_N", "32"))
 
     default = jax.devices()[0]
     value, stats = run_vectorized(n, batch, default)
@@ -467,7 +474,7 @@ def main():
         d.platform == "cpu" for d in jax.devices("cpu")
     ) else default
     with jax.default_device(cpu):
-        baseline = run_reference_style(baseline_n, cpu)
+        baseline, baseline_se = run_reference_style(baseline_n, cpu)
 
     print(json.dumps({
         "metric": "CLEVR val QA pairs/sec/chip end-to-end (generator+executor, "
@@ -475,6 +482,9 @@ def main():
         "value": round(value, 2),
         "unit": "qa_pairs/sec/chip",
         "vs_baseline": round(value / baseline, 2),
+        "baseline_n": baseline_n,
+        "baseline_qps": round(baseline, 3),
+        "baseline_qps_jackknife_se": round(baseline_se, 4),
         "mfu": round(stats["flops_per_sec"] / chip_peak_flops(), 4),
         "mean_chain_depth": round(stats["mean_chain_depth"], 2),
         "max_chain_depth": stats["max_chain_depth"],

@@ -77,6 +77,13 @@ _INTERPRET = False  # tests: run the kernel in interpret mode on CPU
 
 
 def use_fused_encoder_block(enable: bool = True, interpret: bool = False) -> None:
+    """Toggle the fused-block dispatch.
+
+    The flag is read at TRACE time: jitted functions compiled before the
+    toggle keep their old routing (jax caches the trace).  Set it before the
+    first jitted call of the session; to switch an already-compiled function,
+    clear its cache (``fn.clear_cache()`` / ``jax.clear_caches()``) first.
+    """
     global _USE_FUSED, _INTERPRET
     _USE_FUSED = enable
     _INTERPRET = interpret

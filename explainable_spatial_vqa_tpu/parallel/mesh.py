@@ -45,8 +45,13 @@ def make_mesh(
 
             grid = mesh_utils.create_device_mesh(tuple(shape), devices=devices)
             return Mesh(grid, tuple(axes))
-        except Exception:
-            pass
+        except Exception as exc:  # pragma: no cover - backend dependent
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "mesh_utils.create_device_mesh(%s) failed (%s); falling back "
+                "to enumeration-order layout", tuple(shape), exc,
+            )
     grid = np.asarray(devices[:total]).reshape(shape)
     return Mesh(grid, tuple(axes))
 

@@ -329,12 +329,14 @@ def executor_chain_step_arrays(
         "image_index", "functions", "deps", "num_steps", "target_boxes",
         "target_box_mask", "token_target", "is_box_branch", "step_valid",
     )}
-    skipped = 0
+    skipped_long = 0
+    skipped_empty = 0
     for q in annotated_questions:
         parsed = _parse_question_steps(q, function_vocab, value_vocab)
         s = len(parsed)
         if s == 0 or s > max_steps:
-            skipped += int(s > max_steps)
+            skipped_long += int(s > max_steps)
+            skipped_empty += int(s == 0)
             continue
         functions = np.zeros(max_steps, np.int32)
         deps = np.full((max_steps, 2), -1, np.int64)
@@ -363,10 +365,11 @@ def executor_chain_step_arrays(
         records["token_target"].append(token_target)
         records["is_box_branch"].append(is_box)
         records["step_valid"].append(valid)
-    if skipped:
+    if skipped_long or skipped_empty:
         logger.warning(
             "executor_chain_step_arrays: skipped %d questions longer than "
-            "max_steps=%d", skipped, max_steps,
+            "max_steps=%d and %d with zero parsed steps",
+            skipped_long, max_steps, skipped_empty,
         )
     total = len(records["image_index"])
     if subset_fraction < 1.0:

@@ -43,11 +43,15 @@ __all__ = ["gt_chain_state", "make_scheduled_loss_fn", "schedule_p"]
 
 
 def schedule_p(epoch: int, cfg: ExecutorConfig) -> float:
-    """Linear 0 -> p_max ramp over the first ``scheduled_ramp_epochs``."""
+    """Linear 0 -> p_max ramp over the first ``scheduled_ramp_epochs``.
+
+    Epoch 0 is fully teacher-forced (p=0); p reaches p_max at
+    ``epoch == scheduled_ramp_epochs`` and stays there.
+    """
     if cfg.scheduled_p_max <= 0.0:
         return 0.0
     ramp = max(cfg.scheduled_ramp_epochs, 1)
-    return float(cfg.scheduled_p_max) * min(1.0, (epoch + 1) / ramp)
+    return float(cfg.scheduled_p_max) * min(1.0, epoch / ramp)
 
 
 def gt_chain_state(batch: Dict[str, jnp.ndarray], cfg: ExecutorConfig) -> ChainState:
