@@ -244,12 +244,23 @@ class ExecutorChainRunner:
     ) -> Dict[str, np.ndarray]:
         """Depth-bucketed execution: questions grouped by chain length so a
         4-step question never pays for 28 loop iterations.  One compiled
-        runner per bucket depth (cached across calls); results are scattered
-        back into original order."""
+        runner per bucket depth (cached across calls); results — including
+        the full per-step caches, so downstream box-P/R tallies ride this
+        fast path — are scattered back into original order (steps past a
+        question's bucket depth stay zero/False, same as inactive steps in
+        the plain runner)."""
         num_steps = np.asarray(chains.num_steps)
         n = len(num_steps)
-        final_tokens = np.zeros(n, np.int32)
-        final_is_token = np.zeros(n, bool)
+        s, q = self.max_steps, self.config.num_queries
+        full = {
+            "final_tokens": np.zeros(n, np.int32),
+            "final_is_token": np.zeros(n, bool),
+            "box_cache": np.zeros((n, s, q, 4), np.float32),
+            "box_mask": np.zeros((n, s, q), bool),
+            "conf_cache": np.zeros((n, s, q), np.float32),
+            "token_cache": np.zeros((n, s), np.int32),
+            "token_branch": np.zeros((n, s), bool),
+        }
         buckets = tuple(b for b in sorted(set(buckets)) if b <= self.max_steps)
         if not buckets or buckets[-1] < self.max_steps:
             buckets = buckets + (self.max_steps,)
@@ -277,9 +288,12 @@ class ExecutorChainRunner:
                 [],
             )
             out = runner.run(np.asarray(image_tokens)[idx], sub)
-            final_tokens[idx] = out["final_tokens"]
-            final_is_token[idx] = out["final_is_token"]
-        return {"final_tokens": final_tokens, "final_is_token": final_is_token}
+            for key in ("final_tokens", "final_is_token"):
+                full[key][idx] = out[key]
+            for key in ("box_cache", "box_mask", "conf_cache", "token_cache",
+                        "token_branch"):
+                full[key][idx, :depth] = out[key]
+        return full
 
 
 class Seq2SeqChainRunner:

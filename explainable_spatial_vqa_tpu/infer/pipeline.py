@@ -141,6 +141,7 @@ class InferencePipeline:
         image_index: np.ndarray,
         gt_answers: Optional[np.ndarray] = None,
         gt_programs: Optional[np.ndarray] = None,
+        bucketed: bool = True,
     ) -> PipelineResult:
         program_ids = np.asarray(self._generate(jnp.asarray(questions)))
         programs = decode_program_ids(program_ids, self.program_idx_to_token, self.mode)
@@ -153,7 +154,11 @@ class InferencePipeline:
             gathered = jnp.take(image_tokens, jnp.asarray(chains.image_index), axis=0)
         else:
             gathered = np.asarray(image_tokens)[chains.image_index]
-        out = self.runner.run(gathered, chains)
+        # bucketing by PREDICTED chain depth is not oracle knowledge — the
+        # depth is known once the program is generated; parity with the
+        # plain runner is exact (tests/test_chain.py)
+        out = (self.runner.run_bucketed(gathered, chains) if bucketed
+               else self.runner.run(gathered, chains))
         result = PipelineResult(
             program_ids=program_ids,
             answers=out["final_tokens"],

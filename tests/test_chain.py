@@ -146,6 +146,13 @@ def test_bucketed_matches_plain():
     bucketed = runner.run_bucketed(img, chains, buckets=(3, 6))
     np.testing.assert_array_equal(bucketed["final_tokens"], plain["final_tokens"])
     np.testing.assert_array_equal(bucketed["final_is_token"], plain["final_is_token"])
+    # the full per-step caches are scattered back too (so box-P/R tallies
+    # ride the bucketed fast path); steps past num_steps are inactive in
+    # both paths, so the caches must agree everywhere
+    for key in ("box_mask", "token_cache", "token_branch"):
+        np.testing.assert_array_equal(bucketed[key], plain[key], err_msg=key)
+    for key in ("box_cache", "conf_cache"):
+        np.testing.assert_allclose(bucketed[key], plain[key], atol=1e-6, err_msg=key)
 
 
 def test_seq2seq_bucketed_matches_plain():
