@@ -213,10 +213,14 @@ class EncoderBlock(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
+        from explainable_spatial_vqa_tpu.ops.lowp import norm_dtype
+
         self.attn = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype)
         self.ffn = FeedForward(self.d_model, self.ffn_dim, self.dropout, dtype=self.dtype)
-        self.norm1 = nn.LayerNorm(dtype=jnp.float32)
-        self.norm2 = nn.LayerNorm(dtype=jnp.float32)
+        # norm dtype resolves at trace time: fp32 IO by default, bf16 IO
+        # (fp32 stats) when serving opts into ops.lowp — params stay fp32
+        self.norm1 = nn.LayerNorm(dtype=norm_dtype(self.dtype))
+        self.norm2 = nn.LayerNorm(dtype=norm_dtype(self.dtype))
         self.drop = nn.Dropout(self.dropout)
 
     def __call__(
@@ -292,12 +296,14 @@ class DecoderBlock(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
+        from explainable_spatial_vqa_tpu.ops.lowp import norm_dtype
+
         self.self_attn = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype)
         self.cross_attn = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype)
         self.ffn = FeedForward(self.d_model, self.ffn_dim, self.dropout, dtype=self.dtype)
-        self.norm1 = nn.LayerNorm(dtype=jnp.float32)
-        self.norm2 = nn.LayerNorm(dtype=jnp.float32)
-        self.norm3 = nn.LayerNorm(dtype=jnp.float32)
+        self.norm1 = nn.LayerNorm(dtype=norm_dtype(self.dtype))
+        self.norm2 = nn.LayerNorm(dtype=norm_dtype(self.dtype))
+        self.norm3 = nn.LayerNorm(dtype=norm_dtype(self.dtype))
         self.drop = nn.Dropout(self.dropout)
 
     def __call__(

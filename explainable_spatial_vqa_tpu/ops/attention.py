@@ -65,6 +65,23 @@ def dot_product_attention(
     scores = scores * scale
     if mask is not None:
         scores = jnp.where(mask, scores, NEG_INF)
+    if dtype == jnp.bfloat16:
+        from explainable_spatial_vqa_tpu.ops.lowp import lowp_softmax_enabled
+
+        if lowp_softmax_enabled():
+            # bf16-IO softmax: the (B, H, Tq, Tk) score matrix MATERIALIZES
+            # in bf16 (halving its HBM write + read between the two matmuls;
+            # -1e30 is representable — bf16 keeps fp32's exponent range).
+            # The optimization_barrier pins the bf16 buffer as the fusion
+            # boundary (otherwise XLA folds the down-up convert pair into one
+            # fp32 fusion and the bandwidth win evaporates); the max/exp/sum
+            # chain below upcasts to fp32 in-register inside the fused
+            # reduction kernel, so accumulation precision is kept.
+            import jax
+
+            scores = jax.lax.optimization_barrier(
+                scores.astype(jnp.bfloat16)
+            ).astype(jnp.float32)
     weights = jnp.exp(scores - scores.max(axis=-1, keepdims=True))
     weights = weights / (weights.sum(axis=-1, keepdims=True) + 1e-30)
     weights = weights.astype(dtype)
