@@ -967,6 +967,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", type=int, default=2)
     p.set_defaults(fn=cmd_inspect)
 
+    from explainable_spatial_vqa_tpu.cli.repro import add_repro_parser
+
+    add_repro_parser(sub)
+
     p = sub.add_parser(
         "cogent-protocol",
         help="four-cell CoGenT A->B protocol on synthetic data "
