@@ -223,6 +223,30 @@ def analytic_flops_per_question(gen_cfg, exe_cfg, q_len=46, steps=1):
     return gen_flops + precompute + steps * per_step
 
 
+def plan_sorted(num_steps, batch, min_tail=32):
+    """Depth-SORTED batch plan for the dynamic-loop-bound pipeline.
+
+    Pure host logic (unit-tested in tests/test_bench_plan.py).  Questions
+    sort by chain depth and chunk into batches; each batch's fori_loop runs
+    to that batch's OWN max depth (a traced bound — r3 serving redesign,
+    docs/DESIGN.md §10), so loop-tail waste collapses to the in-batch depth
+    spread instead of the bucket-ceiling gap.  Returns (depth, size,
+    indices, real) like plan_buckets; one compile per SIZE, not per depth."""
+    num_steps = np.asarray(num_steps)
+    order = np.argsort(num_steps, kind="stable")
+    plan = []
+    for start in range(0, len(order), batch):
+        part = order[start : start + batch]
+        real = part.size
+        size = batch if real == batch else min(
+            batch, max(min_tail, 1 << (real - 1).bit_length())
+        )
+        if real < size:
+            part = np.concatenate([part, np.repeat(part[-1], size - real)])
+        plan.append((int(num_steps[part].max()), size, part, real))
+    return plan
+
+
 def plan_buckets(num_steps, batch, bucket_edges, min_tail=32):
     """Assign questions to (depth, batch-size) compiled-pipeline slots.
 
@@ -290,21 +314,24 @@ def run_vectorized(n, batch, device):
     deps_dev = jax.device_put(jnp.asarray(chains.deps))
     num_steps_dev = jax.device_put(jnp.asarray(chains.num_steps))
 
-    # Depth buckets: one compiled pipeline per ceiling depth, so a 5-step
-    # query never pays for a 27-step comparison's loop tail.  Each bucket's
-    # TAIL batch compiles at the next power-of-two >= its size instead of
-    # padding to the full `batch`: the per-step TFLOP/s is flat across batch
-    # sizes (~90 TF/s at B=128 and B=512, profile_pipeline.py), so padding a
-    # 200-question depth-27 tail to 512 rows wastes 150% of the most
-    # expensive bucket's work — tail-sized compiles are where the large-batch
-    # configs win back their losses.
+    # Depth-SORTED batches with a DYNAMIC loop bound (r3 redesign, measured
+    # in docs/DESIGN.md §10): questions sort by chain depth and each batch's
+    # chained fori_loop runs to that batch's own max depth as a TRACED bound
+    # — one compile per batch SIZE (2-3 total) instead of per bucket depth,
+    # and loop-tail waste collapses from the bucket-ceiling gap (~25% of
+    # executed steps under the r2 edges) to the in-batch depth spread.
+    # Chain depth is NOT oracle knowledge: real serving parses the generated
+    # program before chaining, so its exact depth is known pre-execution
+    # (infer.pipeline.programs_to_chains); only capping GENERATOR decode
+    # length would be (that cap was reverted in 6583a68).
+    # TAIL batches still compile at the next power-of-two >= 32: per-step
+    # TFLOP/s is flat across batch sizes, so padding the deep tail to the
+    # full `batch` wastes the most expensive rows.
     # The WHOLE per-batch pipeline (question gather -> program generation ->
-    # feature gather -> chained execution) is one jit per bucket: the axon
+    # feature gather -> chained execution) is one jit per batch: the axon
     # dispatch round-trip is ~5.5 ms, so the r1 structure (8 eager/jitted
     # calls per batch) paid ~40 ms/batch in tunnel latency alone.
-    bucket_edges = (8, 12, 16, 20, max_steps)
     num_steps_np = np.asarray(chains.num_steps)
-    bucket_fns = {}  # depth -> jitted pipeline (jit re-specializes per shape)
 
     # The DATA caches enter as jit ARGUMENTS (device-array handles), not
     # closure constants: the axon tunnel serializes closure constants
@@ -312,39 +339,37 @@ def run_vectorized(n, batch, device):
     # (N=2048 -> ~164 MB -> HTTP 413 on top of the 151 MB of weights).
     # The weights stay closed over — they're N-independent and constant
     # folding them avoids per-call pytree-arg overhead on every dispatch.
-    def make_bucket_step(depth):
-        # The generator decodes FULL program_len in every bucket: real
+    def make_batch_step():
+        # The generator decodes FULL program_len in every batch: real
         # serving cannot know a question's chain depth before generating its
-        # program, so capping decode by the (GT-derived) bucket depth would
-        # be oracle knowledge the baseline doesn't get.
-        def bucket_step(sel, feats, qs, img_idx, fns, dps, nsteps):
+        # program, so capping decode by the (GT-derived) depth would be
+        # oracle knowledge the baseline doesn't get.
+        def batch_step(sel, depth, feats, qs, img_idx, fns, dps, nsteps):
             q = jnp.take(qs, sel, axis=0)
             programs = generator.apply(gen_vars, q, method=generator.generate)
             img = jnp.take(feats, jnp.take(img_idx, sel, axis=0), axis=0)
             state = chained_forward(
                 executor, exe_vars, img,
-                jnp.take(fns, sel, axis=0)[:, :depth],
-                jnp.take(dps, sel, axis=0)[:, :depth],
+                jnp.take(fns, sel, axis=0),
+                jnp.take(dps, sel, axis=0),
                 jnp.take(nsteps, sel, axis=0),
-                exe_cfg, max_steps=depth,
+                exe_cfg, max_steps=max_steps, active_steps=depth,
             )
             return programs, state
 
-        return jax.jit(bucket_step)
+        return jax.jit(batch_step)
 
+    batch_fn = make_batch_step()  # jit re-specializes per batch SIZE (2-3)
     plan = []
-    for depth, _size, part, real in plan_buckets(
-        chains.num_steps, batch, bucket_edges
-    ):
-        if depth not in bucket_fns:
-            bucket_fns[depth] = make_bucket_step(depth)
-        plan.append((depth, jax.device_put(jnp.asarray(part)), real))
+    for depth, _size, part, real in plan_sorted(chains.num_steps, batch):
+        plan.append((jax.device_put(jnp.asarray(part)),
+                     jax.device_put(jnp.asarray(depth, jnp.int32)), real))
 
     shared = (features_dev, questions_dev, image_index_dev, functions_dev,
               deps_dev, num_steps_dev)
 
     def run_all():
-        outs = [bucket_fns[depth](sel, *shared) for depth, sel, _real in plan]
+        outs = [batch_fn(sel, depth, *shared) for sel, depth, _real in plan]
         # materialize every batch's answer tokens on host (the deliverable;
         # all dispatches above are async, so transfers overlap execution)
         return [np.asarray(state.token_cache) for _programs, state in outs]

@@ -17,7 +17,7 @@ Questions shorter than ``max_steps`` are masked; everything has static shape.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -103,11 +103,20 @@ def chained_forward(
     cfg: ExecutorConfig,
     max_steps: int,
     image_precomputed: bool = False,
+    active_steps: Optional[jnp.ndarray] = None,
 ) -> ChainState:
     """Run the whole-batch chained executor pass (one fori_loop over step
     positions, HBM caches threaded through).  Shared by the inference runner
     and scheduled-sampling training (which calls it under stop_gradient to
-    obtain the model's own dependency predictions)."""
+    obtain the model's own dependency predictions).
+
+    ``active_steps``: optional TRACED scalar upper bound on loop trips (the
+    batch's max chain depth).  Cache shapes stay static at ``max_steps``;
+    the loop simply stops early — iterations at k >= every question's
+    num_steps write nothing (masked inactive), so outputs are identical to
+    the full-depth run (tests/test_chain.py).  This is the depth-SORTED
+    serving path: one compiled pipeline per batch size handles every depth
+    with zero loop-tail waste, replacing per-depth bucket compiles."""
     n = image_tokens.shape[0]
     s = max_steps
     q = cfg.num_queries
@@ -161,7 +170,8 @@ def chained_forward(
         )
         return state
 
-    return jax.lax.fori_loop(0, s, body, state)
+    upper = s if active_steps is None else jnp.minimum(active_steps, s)
+    return jax.lax.fori_loop(0, upper, body, state)
 
 
 class ExecutorChainRunner:
@@ -194,10 +204,16 @@ class ExecutorChainRunner:
                 in_shardings=(self._batch_shard,) * 4,
                 out_shardings=ChainState(*(self._batch_shard,) * 6),
             )
+            self._run_dyn = jax.jit(
+                self._run_dyn_impl,
+                in_shardings=(self._batch_shard,) * 4 + (replicated(mesh),),
+                out_shardings=ChainState(*(self._batch_shard,) * 6),
+            )
         else:
             self._data_axis = 1
             self.variables = variables
             self._run = jax.jit(self._run_impl)
+            self._run_dyn = jax.jit(self._run_dyn_impl)
 
     def _run_impl(
         self,
@@ -209,6 +225,14 @@ class ExecutorChainRunner:
         return chained_forward(
             self.model, self.variables, image_tokens, functions, deps,
             num_steps, self.config, self.max_steps,
+        )
+
+    def _run_dyn_impl(self, image_tokens, functions, deps, num_steps,
+                      active_steps):
+        return chained_forward(
+            self.model, self.variables, image_tokens, functions, deps,
+            num_steps, self.config, self.max_steps,
+            active_steps=active_steps,
         )
 
     def run(self, image_tokens, chains: ChainArrays) -> Dict[str, np.ndarray]:
@@ -293,6 +317,65 @@ class ExecutorChainRunner:
             for key in ("box_cache", "box_mask", "conf_cache", "token_cache",
                         "token_branch"):
                 full[key][idx, :depth] = out[key]
+        return full
+
+    def run_sorted(
+        self,
+        image_tokens,
+        chains: ChainArrays,
+        batch: int = 128,
+        min_tail: int = 32,
+    ) -> Dict[str, np.ndarray]:
+        """Depth-SORTED execution with a dynamic loop bound (the serving fast
+        path, docs/DESIGN.md §10): questions sort by chain length, each batch
+        runs the fori_loop to ITS OWN max depth (a traced bound — one compile
+        per batch SIZE, not per depth), so loop-tail waste collapses to the
+        in-batch depth spread.  Results — full per-step caches included —
+        scatter back to original order; parity with ``run`` is exact.  Tail
+        batches compile at the next power of two >= ``min_tail``."""
+        num_steps = np.asarray(chains.num_steps)
+        n = len(num_steps)
+        s, q = self.max_steps, self.config.num_queries
+        full = {
+            "final_tokens": np.zeros(n, np.int32),
+            "final_is_token": np.zeros(n, bool),
+            "box_cache": np.zeros((n, s, q, 4), np.float32),
+            "box_mask": np.zeros((n, s, q), bool),
+            "conf_cache": np.zeros((n, s, q), np.float32),
+            "token_cache": np.zeros((n, s), np.int32),
+            "token_branch": np.zeros((n, s), bool),
+        }
+        order = np.argsort(num_steps, kind="stable")
+        image_tokens = np.asarray(image_tokens)
+        last = num_steps - 1
+        for start in range(0, n, batch):
+            idx = order[start : start + batch]
+            real = idx.size
+            size = batch if real == batch else min(
+                batch, max(min_tail, 1 << (real - 1).bit_length())
+            )
+            if size % self._data_axis:
+                size = ((size + self._data_axis - 1) // self._data_axis
+                        * self._data_axis)
+            padded = (np.concatenate([idx, np.repeat(idx[-1], size - real)])
+                      if real < size else idx)
+            depth = jnp.asarray(int(num_steps[padded].max()), jnp.int32)
+            state = self._run_dyn(
+                jnp.asarray(image_tokens[padded]),
+                jnp.asarray(chains.functions[padded]),
+                jnp.asarray(chains.deps[padded]),
+                jnp.asarray(num_steps[padded]),
+                depth,
+            )
+            for key, leaf in zip(
+                ("box_cache", "box_mask", "conf_cache", "token_cache",
+                 "token_branch"),
+                (state.box_cache, state.box_mask, state.conf_cache,
+                 state.token_cache, state.token_branch),
+            ):
+                full[key][idx] = np.asarray(leaf)[:real]
+            full["final_tokens"][idx] = full["token_cache"][idx, last[idx]]
+            full["final_is_token"][idx] = full["token_branch"][idx, last[idx]]
         return full
 
 

@@ -12,9 +12,61 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import plan_buckets  # noqa: E402
+from bench import plan_buckets, plan_sorted  # noqa: E402
 
 EDGES = (8, 12, 16, 20, 27)
+
+
+def test_plan_sorted_covers_each_question_exactly_once():
+    rng = np.random.RandomState(0)
+    num_steps = rng.randint(1, 28, 500)
+    plan = plan_sorted(num_steps, batch=64)
+    seen = np.concatenate([part[:real] for _d, _s, part, real in plan])
+    assert sorted(seen) == list(range(500))
+
+
+def test_plan_sorted_batches_are_depth_tight():
+    rng = np.random.RandomState(1)
+    num_steps = rng.randint(1, 28, 300)
+    plan = plan_sorted(num_steps, batch=64)
+    prev_max = 0
+    for depth, _size, part, real in plan:
+        # depth is the batch's own max (the dynamic loop bound)
+        assert depth == int(num_steps[part[:real]].max())
+        # sorted order: batches are non-decreasing in depth
+        assert depth >= prev_max
+        prev_max = depth
+
+
+def test_plan_sorted_executes_less_than_buckets_on_bench_distribution():
+    """On the bench's real CLEVR question-family depth distribution, the
+    sorted+dynamic plan executes fewer total (padded-row x loop-step) units
+    than the r2 bucket plan — the padding-waste win behind the r3 serving
+    redesign (one tail batch total instead of one per bucket, and loop
+    depth = each batch's own max instead of the bucket ceiling)."""
+    from bench import synth_questions
+    from explainable_spatial_vqa_tpu.core.config import ExecutorConfig
+
+    _f, _q, chains = synth_questions(1024, ExecutorConfig(num_image_tokens=4,
+                                                          image_feature_dim=4))
+    num_steps = chains.num_steps
+
+    def executed(plan):
+        return sum(depth * size for depth, size, _p, _r in plan)
+
+    e_sorted = executed(plan_sorted(num_steps, batch=128))
+    e_buckets = executed(plan_buckets(num_steps, batch=128, bucket_edges=EDGES))
+    useful = int(np.sum(num_steps))
+    assert e_sorted < e_buckets
+    # waste (executed beyond useful) shrinks by well over half
+    assert e_sorted - useful < 0.5 * (e_buckets - useful)
+
+
+def test_plan_sorted_tail_pow2():
+    plan = plan_sorted(np.full(130, 5), batch=128, min_tail=32)
+    assert [(s, r) for _d, s, _p, r in plan] == [(128, 128), (32, 2)]
+    depth, size, part, real = plan[-1]
+    assert (part[real:] == part[real - 1]).all()
 
 
 def test_covers_each_question_exactly_once():
