@@ -503,7 +503,7 @@ def main():
 
     print(json.dumps({
         "metric": "CLEVR val QA pairs/sec/chip end-to-end (generator+executor, "
-                  "CLEVR question-family program shapes, depth-bucketed)",
+                  "CLEVR question-family program shapes, depth-sorted)",
         "value": round(value, 2),
         "unit": "qa_pairs/sec/chip",
         "vs_baseline": round(value / baseline, 2),

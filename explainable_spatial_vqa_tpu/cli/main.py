@@ -819,6 +819,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--platform", default=None, choices=["cpu", "tpu", "gpu", "axon"],
         help="force a jax platform (overrides environment-pinned backends)",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="join a multi-process cluster via jax.distributed.initialize "
+             "before running the command (parallel/multihost.py); every "
+             "process runs the same command line",
+    )
+    parser.add_argument("--coordinator_address", default=None,
+                        help="host:port of process 0 (auto-detected if unset)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("build-vocab")
@@ -1002,6 +1012,10 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        from explainable_spatial_vqa_tpu.parallel.multihost import initialize
+
+        initialize(args.coordinator_address, args.num_processes, args.process_id)
     try:
         args.fn(args)
     except BrokenPipeError:

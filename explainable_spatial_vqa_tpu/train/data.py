@@ -65,16 +65,32 @@ def batches(
     epoch: int = 0,
     drop_last: bool = True,
     transform: Optional[Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]]] = None,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield dict batches; static batch shape (drop_last) keeps one XLA
-    compilation alive for the whole run."""
+    compilation alive for the whole run.
+
+    Multi-host (SURVEY.md §5.8 DCN extension): ``batch_size`` is GLOBAL.
+    Every host computes the identical permutation (same seed/epoch) and
+    gathers only its own contiguous ``parallel.multihost.host_batch_slice``
+    rows of each global batch — the h5/array reads themselves are per-host,
+    so input bandwidth scales with hosts.  ``process_count=1`` is exactly
+    the single-host behavior.
+    """
     n = len(data)
     order = (
         np.random.RandomState(seed + epoch).permutation(n) if shuffle else np.arange(n)
     )
+    if process_count > 1:
+        from explainable_spatial_vqa_tpu.parallel.multihost import host_batch_slice
+
+        local = host_batch_slice(batch_size, process_index, process_count)
+    else:
+        local = slice(None)
     limit = n - (n % batch_size) if drop_last else n
     for start in range(0, limit, batch_size):
-        batch = data.gather(order[start : start + batch_size])
+        batch = data.gather(order[start : start + batch_size][local])
         if transform is not None:
             batch = transform(batch)
         yield batch

@@ -84,21 +84,33 @@ def _splits(n: int, config: ExperimentConfig):
     return train_val_test_split(n, d.test_split, d.validation_split, d.seed)
 
 
+def _process_info():
+    """(process_index, process_count) for per-host batch sharding; (0, 1)
+    single-host.  Every factory passes these through so a multi-host run
+    (parallel/multihost.py) reads only its own rows of each global batch."""
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
 def _batch_factories(arrays, config, transform=None):
     n = len(next(iter(arrays.values())))
     train_idx, val_idx, test_idx = _splits(n, config)
     bs = config.train.batch_size
     train_sub, val_sub, test_sub = (Subset(arrays, i) for i in (train_idx, val_idx, test_idx))
+    pi, pc = _process_info()
 
     def train_b(epoch):
         return batches(train_sub, bs, shuffle=True, seed=config.data.seed, epoch=epoch,
-                       transform=transform)
+                       transform=transform, process_index=pi, process_count=pc)
 
     def val_b():
-        return batches(val_sub, bs, shuffle=False, transform=transform)
+        return batches(val_sub, bs, shuffle=False, transform=transform,
+                       process_index=pi, process_count=pc)
 
     def test_b():
-        return batches(test_sub, bs, shuffle=False, transform=transform)
+        return batches(test_sub, bs, shuffle=False, transform=transform,
+                       process_index=pi, process_count=pc)
 
     return train_b, val_b, test_b, len(train_sub) // bs
 
@@ -428,15 +440,20 @@ def _executor_scheduled_pipeline(config: ExperimentConfig) -> Pipeline:
 
         return transform
 
+    pi, pc = _process_info()
+
     def train_b(epoch):
         return batches(train_sub, bs, shuffle=True, seed=config.data.seed,
-                       epoch=epoch, transform=with_p(schedule_p(epoch, cfg)))
+                       epoch=epoch, transform=with_p(schedule_p(epoch, cfg)),
+                       process_index=pi, process_count=pc)
 
     def val_b():
-        return batches(val_sub, bs, shuffle=False, transform=with_p(0.0))
+        return batches(val_sub, bs, shuffle=False, transform=with_p(0.0),
+                       process_index=pi, process_count=pc)
 
     def test_b():
-        return batches(test_sub, bs, shuffle=False, transform=with_p(0.0))
+        return batches(test_sub, bs, shuffle=False, transform=with_p(0.0),
+                       process_index=pi, process_count=pc)
 
     return Pipeline(model, variables["params"], loss_fn, train_b, val_b, test_b,
                     ("routing_correct", "routing_total"), len(train_sub) // bs)

@@ -99,9 +99,18 @@ class Trainer:
         self.eval_loss_fn = eval_fn or loss_fn
         self.optim_config = optim_config
         self.train_config = train_config
-        self.mesh = mesh if mesh is not None else make_mesh(
-            train_config.mesh_shape, train_config.mesh_axes
-        )
+        if mesh is not None:
+            self.mesh = mesh
+        elif jax.process_count() > 1:
+            # multi-host: process-major device order (NOT topology-reordered)
+            # so host_batch_slice rows land on each host's own chips
+            from explainable_spatial_vqa_tpu.parallel.multihost import make_global_mesh
+
+            self.mesh = make_global_mesh(
+                train_config.mesh_shape, train_config.mesh_axes
+            )
+        else:
+            self.mesh = make_mesh(train_config.mesh_shape, train_config.mesh_axes)
         self.tx = build_optimizer(optim_config, steps_per_epoch)
         self.state = TrainState.create(params, self.tx)
         self._replicated = replicated(self.mesh)
@@ -149,6 +158,13 @@ class Trainer:
     # -- loops --------------------------------------------------------------
 
     def _put(self, batch: Dict[str, np.ndarray]):
+        if jax.process_count() > 1:
+            # multi-host: each process holds only its host_batch_slice rows;
+            # assemble global sharded arrays without cross-host transfer
+            from explainable_spatial_vqa_tpu.parallel.multihost import global_batch
+
+            return global_batch(batch, self.mesh)
+
         def put(x):
             x = jnp.asarray(x)
             # scalars (e.g. the scheduled-sampling p) replicate; arrays shard
