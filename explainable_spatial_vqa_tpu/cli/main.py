@@ -783,6 +783,7 @@ def cmd_cogent_protocol(args: argparse.Namespace) -> None:
         noise=args.noise,
         drop=args.drop,
         seed=args.seed,
+        entangled=not args.disentangled_features,
     )
     report = result["report"]
     print(report.report())
@@ -1000,6 +1001,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_json", default=None)
+    p.add_argument("--disentangled_features", action="store_true",
+                   help="use plain one-hot color channels (no per-shape "
+                        "permutation) — color readout is then shape-free and "
+                        "NO A->B gap can appear; default is the entangled "
+                        "mode that exhibits the Table 4.6 phenomenon")
     p.set_defaults(fn=cmd_cogent_protocol)
 
     return parser

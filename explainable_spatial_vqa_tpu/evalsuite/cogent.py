@@ -98,6 +98,7 @@ def run_cogent_protocol(
     drop: float = 0.0,
     seed: int = 0,
     max_chain_steps: int = 12,  # covers the 10-node two-branch compare programs
+    entangled: bool = True,
 ) -> Dict:
     """Execute the full four-cell CoGenT protocol end-to-end (thesis §4.2.2 /
     Table 4.6): train generator+executor on condition A, evaluate on valA and
@@ -109,6 +110,12 @@ def run_cogent_protocol(
     both training/eval paths are the production ones.  The thesis defaults are
     3000 images / 30000 questions for the fine-tune slice; pass smaller values
     for scaled-down runs.
+
+    ``entangled`` (default True) renders color through the per-shape channel
+    permutation (synthetic.color_channel) so that an A-trained model CANNOT
+    decode condition-B (shape, color) combinations zero-shot — without it the
+    one-hot color channels are trivially disentangled and valB ≈ valA, which
+    cannot exhibit the Table 4.6 transfer gap (VERDICT r2 finding #2).
 
     Returns {"report": CoGenTReport, "by_type": {cell: acc-dict},
     "tallies": {cell: FaithfulnessTally}, "sizes": {...}}.
@@ -141,7 +148,8 @@ def run_cogent_protocol(
 
     all_scenes = train_a_scenes + val_a_scenes + val_b_scenes + ft_b_scenes
     features = np.stack([
-        syn.scene_feature_map(s).reshape(64, -1).T for s in all_scenes
+        syn.scene_feature_map(s, entangled=entangled).reshape(64, -1).T
+        for s in all_scenes
     ]).astype(np.float32)
 
     # vocab over the union, as the reference builds vocab.json over all splits

@@ -48,3 +48,43 @@ def test_cogent_scene_palettes_disjoint_for_restricted_shapes():
             scene = random_scene_cogent(rng, i, cond)
             for obj in scene["objects"]:
                 assert obj["color"] in palette[obj["shape"]], (cond, obj)
+
+
+def test_entangled_color_channels_force_the_transfer_gap():
+    """The entangled feature mode's (shape, color) -> channel map must make
+    the A->B zero-shot color-decoding failure information-theoretically
+    forced: for every palette-restricted shape, the channels condition-B
+    colors land on are DISJOINT from the channels any condition-A color of
+    that shape lands on."""
+    from explainable_spatial_vqa_tpu.clevr.synthetic import (
+        ATTRIBUTE_VALUES,
+        color_channel,
+    )
+
+    for shape in ("cube", "cylinder"):
+        a = {color_channel(c, shape, entangled=True)
+             for c in COGENT_A_PALETTE[shape]}
+        b = {color_channel(c, shape, entangled=True)
+             for c in COGENT_B_PALETTE[shape]}
+        assert not (a & b), (shape, a, b)
+    # each per-shape map is a bijection over the 8 color channels
+    for shape in ATTRIBUTE_VALUES["shape"]:
+        chans = {color_channel(c, shape, entangled=True)
+                 for c in ATTRIBUTE_VALUES["color"]}
+        assert chans == set(range(8)), shape
+
+
+def test_entangled_feature_map_only_moves_color_channels():
+    from explainable_spatial_vqa_tpu.clevr.synthetic import (
+        random_scene,
+        scene_feature_map,
+    )
+
+    scene = random_scene(np.random.RandomState(3), 0)
+    plain = scene_feature_map(scene)
+    ent = scene_feature_map(scene, entangled=True)
+    # shape/size/material/objectness channels identical; color (0-7) may move
+    np.testing.assert_array_equal(plain[8:], ent[8:])
+    # same cells carry SOME color in both modes (channels permuted per
+    # object; overlapping boxes may merge differently per channel)
+    np.testing.assert_array_equal(plain[:8].max(0), ent[:8].max(0))
