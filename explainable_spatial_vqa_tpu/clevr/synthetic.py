@@ -101,23 +101,28 @@ def _node(fn: str, inputs: Sequence[int] = (), values: Sequence[str] = ()) -> Di
 
 
 _QUESTION_TEMPLATES = {
-    "count": "how many {f} things are there",
-    "exist": "are there any {f} things",
-    "query_color": "what color is the {f} thing",
-    "query_shape": "what shape is the {f} thing",
-    "query_size": "what size is the {f} thing",
-    "query_material": "what material is the {f} thing",
+    "count": "how many {f} are there",
+    "exist": "are there any {f}",
+    "query_color": "what color is the {f}",
+    "query_shape": "what shape is the {f}",
+    "query_size": "what size is the {f}",
+    "query_material": "what material is the {f}",
 }
 
 
-def _filter_branch(
-    rng: np.random.RandomState, program: List[Dict[str, Any]]
+_RELATE_WORDS = {
+    "left": "left of", "right": "right of",
+    "front": "in front of", "behind": "behind",
+}
+
+
+def _filters(
+    rng: np.random.RandomState, program: List[Dict[str, Any]], root: int,
+    lo: int = 1, hi: int = 2,
 ) -> "Tuple[int, List[str]]":
-    """Append a 1-2 filter chain rooted at the scene node (index 0); returns
-    (last node index, filter value words)."""
     parts: List[str] = []
-    prev = 0
-    for _ in range(rng.randint(1, 3)):
+    prev = root
+    for _ in range(rng.randint(lo, hi + 1)):
         attr = list(ATTRIBUTE_VALUES)[rng.randint(4)]
         value = ATTRIBUTE_VALUES[attr][rng.randint(len(ATTRIBUTE_VALUES[attr]))]
         program.append(_node(f"filter_{attr}", [prev], [value]))
@@ -126,17 +131,54 @@ def _filter_branch(
     return prev, parts
 
 
+def _filter_branch(
+    rng: np.random.RandomState, program: List[Dict[str, Any]],
+    hop_prob: float = 0.0,
+) -> "Tuple[int, str]":
+    """Append a filter chain rooted at the scene node (index 0); with
+    probability ``hop_prob`` extend it through a relational HOP —
+    ``unique -> relate[dir] -> filters`` (CLEVR's "the X left of the Y") or
+    ``unique -> same_<attr> -> filters`` ("other things with the same color
+    as the Y") — the deeper-join families from VERDICT r2 #4.  Returns
+    (last node index, complete noun phrase for the branch — includes its
+    own "things"/"thing" nouns so templates can splice it directly)."""
+    prev, parts = _filters(rng, program, 0)
+    phrase = " ".join(parts)
+    if rng.uniform() >= hop_prob:
+        return prev, phrase + " things"
+    program.append(_node("unique", [prev]))
+    prev = len(program) - 1
+    if rng.randint(2):
+        rel = _RELATIONS[rng.randint(4)]
+        program.append(_node("relate", [prev], [rel]))
+        prev = len(program) - 1
+        prev, parts2 = _filters(rng, program, prev, lo=1, hi=1)
+        out = f"{' '.join(parts2)} things {_RELATE_WORDS[rel]} the {phrase} thing"
+    else:
+        attr = list(ATTRIBUTE_VALUES)[rng.randint(4)]
+        program.append(_node(f"same_{attr}", [prev]))
+        prev = len(program) - 1
+        prev, parts2 = _filters(rng, program, prev, lo=1, hi=1)
+        out = (f"{' '.join(parts2)} things with the same {attr} "
+               f"as the {phrase} thing")
+    return prev, out
+
+
 def random_question(
-    rng: np.random.RandomState, scene: Scene, question_index: int
+    rng: np.random.RandomState, scene: Scene, question_index: int,
+    hop_prob: float = 0.0, max_nodes: int = 12,
 ) -> Optional[Dict[str, Any]]:
     """A well-typed template question over ``scene`` with a valid answer.
 
     Templates: [scene] -> 1-2 filters -> {count | exist | unique -> query_*},
     plus the two-branch DAG families [scene] -> branch x2 ->
     {count x2 -> greater/less/equal_integer | unique+query x2 -> equal_*}
-    (CLEVR's compare_number / compare_attribute question types).  Returns
-    None when the sampled program is INVALID on the scene (e.g. unique over
-    a non-singleton set) — the caller resamples.
+    (CLEVR's compare_number / compare_attribute question types).  With
+    ``hop_prob`` > 0 branches may extend through relate / same_* joins
+    (see :func:`_filter_branch`), CLEVR's relational-hop families.
+    Returns None when the sampled program is INVALID on the scene (e.g.
+    unique over a non-singleton set) or exceeds ``max_nodes`` — the caller
+    resamples.
     """
     program: List[Dict[str, Any]] = [_node("scene")]
     terminal = ["count", "exist", "query", "compare_num", "compare_attr"][
@@ -144,9 +186,9 @@ def random_question(
     ]
 
     if terminal in ("compare_num", "compare_attr"):
-        i1, f1 = _filter_branch(rng, program)
-        i2, f2 = _filter_branch(rng, program)
-        t1, t2 = " ".join(f1), " ".join(f2)
+        # halve the per-branch hop rate: two branches, same expected hops
+        i1, t1 = _filter_branch(rng, program, hop_prob=hop_prob / 2)
+        i2, t2 = _filter_branch(rng, program, hop_prob=hop_prob / 2)
         if terminal == "compare_num":
             program.append(_node("count", [i1]))
             c1 = len(program) - 1
@@ -155,10 +197,10 @@ def random_question(
             op = ["greater_than", "less_than", "equal_integer"][rng.randint(3)]
             program.append(_node(op, [c1, c2]))
             question = {
-                "greater_than": f"are there more {t1} things than {t2} things",
-                "less_than": f"are there fewer {t1} things than {t2} things",
+                "greater_than": f"are there more {t1} than {t2}",
+                "less_than": f"are there fewer {t1} than {t2}",
                 "equal_integer": (
-                    f"are there the same number of {t1} things as {t2} things"
+                    f"are there the same number of {t1} as {t2}"
                 ),
             }[op]
         else:
@@ -171,10 +213,10 @@ def random_question(
             q2 = len(program) - 1
             program.append(_node(f"equal_{attr}", [q1, q2]))
             question = (
-                f"does the {t1} thing have the same {attr} as the {t2} thing"
+                f"does the {t1} have the same {attr} as the {t2}"
             )
     else:
-        prev, filter_parts = _filter_branch(rng, program)
+        prev, phrase = _filter_branch(rng, program, hop_prob=hop_prob)
         if terminal == "query":
             program.append(_node("unique", [prev]))
             attr = list(ATTRIBUTE_VALUES)[rng.randint(4)]
@@ -183,8 +225,10 @@ def random_question(
         else:
             program.append(_node(terminal, [prev]))
             template = _QUESTION_TEMPLATES[terminal]
-        question = template.format(f=" ".join(filter_parts))
+        question = template.format(f=phrase)
 
+    if len(program) > max_nodes:
+        return None
     outputs = execute_program(scene, program)
     if len(outputs) < len(program) or outputs[-1] == INVALID:
         return None
@@ -206,7 +250,8 @@ def random_question(
 
 
 def synthesize_dataset(
-    num_scenes: int, questions_per_scene: int, seed: int = 0
+    num_scenes: int, questions_per_scene: int, seed: int = 0,
+    hop_prob: float = 0.0,
 ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
     """Returns (raw scenes, question records with programs + answers)."""
     rng = np.random.RandomState(seed)
@@ -216,9 +261,9 @@ def synthesize_dataset(
         scene = Scene.from_raw(raw)
         made = 0
         attempts = 0
-        while made < questions_per_scene and attempts < questions_per_scene * 20:
+        while made < questions_per_scene and attempts < questions_per_scene * 40:
             attempts += 1
-            q = random_question(rng, scene, len(questions))
+            q = random_question(rng, scene, len(questions), hop_prob=hop_prob)
             if q is not None:
                 questions.append(q)
                 made += 1
@@ -308,7 +353,7 @@ def random_scene_cogent(
 
 def synthesize_cogent_dataset(
     num_scenes: int, questions_per_scene: int, condition: str, seed: int = 0,
-    image_index_base: int = 0,
+    image_index_base: int = 0, hop_prob: float = 0.0,
 ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
     """Condition-restricted corpus for the CoGenT A->B protocol."""
     rng = np.random.RandomState(seed)
@@ -320,9 +365,9 @@ def synthesize_cogent_dataset(
     for raw in scenes_raw:
         scene = Scene.from_raw(raw)
         made = attempts = 0
-        while made < questions_per_scene and attempts < questions_per_scene * 20:
+        while made < questions_per_scene and attempts < questions_per_scene * 40:
             attempts += 1
-            q = random_question(rng, scene, len(questions))
+            q = random_question(rng, scene, len(questions), hop_prob=hop_prob)
             if q is not None:
                 questions.append(q)
                 made += 1
