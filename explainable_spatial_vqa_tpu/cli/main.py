@@ -557,10 +557,10 @@ def cmd_tally(args: argparse.Namespace) -> None:
         annotated = read_annotated_h5(args.annotated_h5)[:limit]
         chains = chain_arrays(annotated, split_vocab["function"], max_steps=28)
         gathered = image_tokens[chains.image_index]
-        # run_bucketed scatters the full per-step caches back, so the box
-        # P/R tally rides the depth-bucketed fast path (r2 used the plain
-        # depth-28 runner here)
-        run_out = runner.run_bucketed(gathered, chains)
+        # run_sorted scatters the full per-step caches back, so the box
+        # P/R tally rides the depth-sorted serving fast path (r2 used the
+        # plain depth-28 runner here; r3 sorted replaces r2.5 bucketed)
+        run_out = runner.run_sorted(gathered, chains)
         conf_threshold = exe_cfg.conf_threshold
         if args.calibrate_conf:
             conf_threshold, f1 = calibrate_chain_conf_threshold(
@@ -576,7 +576,7 @@ def cmd_tally(args: argparse.Namespace) -> None:
                     dataclasses.replace(exe_cfg, conf_threshold=conf_threshold),
                     max_steps=28, mesh=serve_mesh,
                 )
-                run_out = calibrated_runner.run_bucketed(gathered, chains)
+                run_out = calibrated_runner.run_sorted(gathered, chains)
         step_tally = tally_predicted_chains(
             run_out, annotated, split_vocab["function"], value_vocab,
             conf_threshold=conf_threshold, iou_threshold=args.iou_threshold,

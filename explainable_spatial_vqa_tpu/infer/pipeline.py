@@ -141,7 +141,7 @@ class InferencePipeline:
         image_index: np.ndarray,
         gt_answers: Optional[np.ndarray] = None,
         gt_programs: Optional[np.ndarray] = None,
-        bucketed: bool = True,
+        chain_mode: str = "sorted",
     ) -> PipelineResult:
         program_ids = np.asarray(self._generate(jnp.asarray(questions)))
         programs = decode_program_ids(program_ids, self.program_idx_to_token, self.mode)
@@ -154,11 +154,20 @@ class InferencePipeline:
             gathered = jnp.take(image_tokens, jnp.asarray(chains.image_index), axis=0)
         else:
             gathered = np.asarray(image_tokens)[chains.image_index]
-        # bucketing by PREDICTED chain depth is not oracle knowledge — the
+        # grouping by PREDICTED chain depth is not oracle knowledge — the
         # depth is known once the program is generated; parity with the
-        # plain runner is exact (tests/test_chain.py)
-        out = (self.runner.run_bucketed(gathered, chains) if bucketed
-               else self.runner.run(gathered, chains))
+        # plain runner is exact for both fast paths (tests/test_chain.py).
+        # "sorted" (default) is the serving fast path (docs/DESIGN.md §10):
+        # depth-sorted batches, dynamic loop bound, one compile per batch
+        # size; "bucketed" keeps the r2 per-depth-bucket compiles.
+        if chain_mode == "sorted":
+            out = self.runner.run_sorted(gathered, chains)
+        elif chain_mode == "bucketed":
+            out = self.runner.run_bucketed(gathered, chains)
+        elif chain_mode == "plain":
+            out = self.runner.run(gathered, chains)
+        else:
+            raise ValueError(f"unknown chain_mode {chain_mode!r}")
         result = PipelineResult(
             program_ids=program_ids,
             answers=out["final_tokens"],

@@ -89,27 +89,30 @@ class ProgramGenerator(nn.Module):
         batch = questions.shape[0]
         init = self.enc_fwd.initialize_carry(jax.random.PRNGKey(0), (batch,))
 
-        def fwd_step(carry, x_t):
-            return self.enc_fwd(carry, x_t)
-
-        carry_f, outs_f = nn.scan(
-            lambda mdl, c, x: mdl(c, x),
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
-        )(self.enc_fwd, init, emb)
-
         if cfg.bidirectional and not cfg.simple:
+            # Both directions ride ONE scan (independent carries; the bwd
+            # stack consumes the time-reversed embeddings), halving the
+            # number of sequential while-loop iterations — the encoder is
+            # latency-bound per iteration at serving batch sizes, not
+            # compute-bound, so loop count is what costs.  Numerics are
+            # identical to two separate scans (same cells, same inputs).
             init_b = self.enc_bwd.initialize_carry(jax.random.PRNGKey(0), (batch,))
             emb_rev = jnp.flip(emb, axis=1)
-            carry_b, outs_b = nn.scan(
-                lambda mdl, c, x: mdl(c, x),
+
+            def both_steps(mdl, carry, xs):
+                cf, cb = carry
+                xf, xb = xs
+                cf, of = mdl.enc_fwd(cf, xf)
+                cb, ob = mdl.enc_bwd(cb, xb)
+                return (cf, cb), (of, ob)
+
+            (carry_f, carry_b), (outs_f, outs_b) = nn.scan(
+                both_steps,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=1,
                 out_axes=1,
-            )(self.enc_bwd, init_b, emb_rev)
+            )(self, (init, init_b), (emb, emb_rev))
             outs_b = jnp.flip(outs_b, axis=1)
             enc_outputs = self.enc_proj(jnp.concatenate([outs_f, outs_b], axis=-1))
             # decoder init: combine directions per layer (sum of c and h)
@@ -117,6 +120,13 @@ class ProgramGenerator(nn.Module):
                 (cf[0] + cb[0], cf[1] + cb[1]) for cf, cb in zip(carry_f, carry_b)
             )
         else:
+            carry_f, outs_f = nn.scan(
+                lambda mdl, c, x: mdl(c, x),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=1,
+                out_axes=1,
+            )(self.enc_fwd, init, emb)
             enc_outputs = outs_f
             dec_init = carry_f
 
