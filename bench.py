@@ -223,63 +223,11 @@ def analytic_flops_per_question(gen_cfg, exe_cfg, q_len=46, steps=1):
     return gen_flops + precompute + steps * per_step
 
 
-def plan_sorted(num_steps, batch, min_tail=32):
-    """Depth-SORTED batch plan for the dynamic-loop-bound pipeline.
-
-    Pure host logic (unit-tested in tests/test_bench_plan.py).  Questions
-    sort by chain depth and chunk into batches; each batch's fori_loop runs
-    to that batch's OWN max depth (a traced bound — r3 serving redesign,
-    docs/DESIGN.md §10), so loop-tail waste collapses to the in-batch depth
-    spread instead of the bucket-ceiling gap.  Returns (depth, size,
-    indices, real) like plan_buckets; one compile per SIZE, not per depth."""
-    num_steps = np.asarray(num_steps)
-    order = np.argsort(num_steps, kind="stable")
-    plan = []
-    for start in range(0, len(order), batch):
-        part = order[start : start + batch]
-        real = part.size
-        size = batch if real == batch else min(
-            batch, max(min_tail, 1 << (real - 1).bit_length())
-        )
-        if real < size:
-            part = np.concatenate([part, np.repeat(part[-1], size - real)])
-        plan.append((int(num_steps[part].max()), size, part, real))
-    return plan
-
-
-def plan_buckets(num_steps, batch, bucket_edges, min_tail=32):
-    """Assign questions to (depth, batch-size) compiled-pipeline slots.
-
-    Pure host logic (unit-tested in tests/test_bench_plan.py).  Returns a
-    list of (depth, size, indices, real): ``indices`` has static length
-    ``size`` (tail batches round up to the next power of two >= ``min_tail``,
-    clamped to ``batch``, instead of padding all the way to ``batch``;
-    padding repeats the last real index) and ``real`` counts the non-padded
-    prefix.  Every question lands in exactly one slot of the shallowest
-    bucket that fits it; raises if the edges don't cover the max depth."""
-    num_steps = np.asarray(num_steps)
-    plan = []
-    assigned = np.zeros(len(num_steps), bool)
-    for depth in bucket_edges:
-        select = (~assigned) & (num_steps <= depth)
-        assigned |= select
-        idx = np.flatnonzero(select)
-        for start in range(0, idx.size, batch):
-            part = idx[start : start + batch]
-            real = part.size
-            size = batch if real == batch else min(
-                batch, max(min_tail, 1 << (real - 1).bit_length())
-            )
-            if real < size:
-                part = np.concatenate([part, np.repeat(part[-1], size - real)])
-            plan.append((depth, size, part, real))
-    if not assigned.all():
-        raise ValueError(
-            f"{int((~assigned).sum())} questions exceed the deepest bucket "
-            f"edge {max(bucket_edges)} (max num_steps "
-            f"{int(num_steps.max())})"
-        )
-    return plan
+# Batch planning is SHARED with serving (ExecutorChainRunner.run_sorted)
+# so the benched plan IS the served plan; tests/test_bench_plan.py pins it.
+from explainable_spatial_vqa_tpu.infer.plan import (  # noqa: E402
+    plan_buckets, plan_sorted,
+)
 
 
 def run_vectorized(n, batch, device):

@@ -169,18 +169,22 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
 
     # 8. Table 4.6 — CoGenT A->B, when a condition-B root is supplied
     if args.cogent_b_root:
-        val_b = _prepare_split(args.cogent_b_root, "val", work + "/condB",
+        condb = os.path.join(work, "condB")
+        os.makedirs(condb, exist_ok=True)
+        val_b = _prepare_split(args.cogent_b_root, "val", condb,
                                vocab, platform, args.torch_weights,
                                args.resize, args.feature_batch)
-        os.makedirs(work + "/condB", exist_ok=True)
         zero_a = tally_out
         zero_b = _tally(val_b, vocab, split_vocab, gen_ckpt, exe_ckpt,
                         platform, args.eval_limit)
         # fine-tune on a condition-B train subset (thesis: 3k img / 30k q),
-        # resuming from the condition-A checkpoints (orbax restores latest)
-        train_b = _prepare_split(args.cogent_b_root, "train", work + "/condB",
+        # resuming from the condition-A checkpoints (orbax restores latest);
+        # same --batch_size as the condition-A runs so the four Table 4.6
+        # cells train with consistent hyperparameters
+        train_b = _prepare_split(args.cogent_b_root, "train", condb,
                                  vocab, platform, args.torch_weights,
                                  args.resize, args.feature_batch)
+        bs = ["--batch_size", str(args.batch_size)] if args.batch_size else []
         ft_gen = os.path.join(work, "ckpt_generator_ftB")
         ft_exe = os.path.join(work, "ckpt_executor_ftB")
         shutil.copytree(gen_ckpt, ft_gen, dirs_exist_ok=True)
@@ -188,13 +192,15 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
         _sub(["train", "--preset", "generator",
               "--questions_h5", train_b["questions_h5"],
               "--checkpoint_dir", ft_gen,
-              "--epochs", str(args.gen_epochs + args.ft_epochs)], platform)
+              "--history_json", os.path.join(work, "generator_ftB_history.json"),
+              "--epochs", str(args.gen_epochs + args.ft_epochs)] + bs, platform)
         _sub(["train", "--preset", "executor",
               "--annotated_h5", train_b["annotated_h5"],
               "--features_h5", train_b["features_h5"],
               "--split_vocab_json", split_vocab,
               "--checkpoint_dir", ft_exe,
-              "--epochs", str(args.exe_epochs + args.ft_epochs)], platform)
+              "--history_json", os.path.join(work, "executor_ftB_history.json"),
+              "--epochs", str(args.exe_epochs + args.ft_epochs)] + bs, platform)
         ft_a = _tally(val, vocab, split_vocab, ft_gen, ft_exe, platform,
                       args.eval_limit)
         ft_b = _tally(val_b, vocab, split_vocab, ft_gen, ft_exe, platform,
@@ -228,7 +234,8 @@ def add_repro_parser(sub) -> None:
     p.add_argument("--clevr_root", required=True,
                    help="CLEVR v1.0 (or CoGenT condition-A) download root")
     p.add_argument("--workdir", required=True)
-    p.add_argument("--torch_weights", default=None,
+    p.add_argument("--torch-weights", "--torch_weights", dest="torch_weights",
+                   default=None,
                    help="torchvision resnet101 .pth (numeric feature parity)")
     p.add_argument("--resize", choices=["device", "pil"], default="pil",
                    help="pil bit-matches the reference preprocessing")

@@ -331,8 +331,13 @@ class ExecutorChainRunner:
         runs the fori_loop to ITS OWN max depth (a traced bound — one compile
         per batch SIZE, not per depth), so loop-tail waste collapses to the
         in-batch depth spread.  Results — full per-step caches included —
-        scatter back to original order; parity with ``run`` is exact.  Tail
-        batches compile at the next power of two >= ``min_tail``."""
+        scatter back to original order; parity with ``run`` is exact.  The
+        batch plan (sort, pow2 tails >= ``min_tail``, repeat-last padding) is
+        ``infer.plan.plan_sorted`` — the same function the bench schedules
+        with.  Device-resident ``image_tokens`` (the HBM feature cache) are
+        gathered per batch ON device; only host arrays take the numpy path."""
+        from explainable_spatial_vqa_tpu.infer.plan import plan_sorted
+
         num_steps = np.asarray(chains.num_steps)
         n = len(num_steps)
         s, q = self.max_steps, self.config.num_queries
@@ -345,28 +350,25 @@ class ExecutorChainRunner:
             "token_cache": np.zeros((n, s), np.int32),
             "token_branch": np.zeros((n, s), bool),
         }
-        order = np.argsort(num_steps, kind="stable")
-        image_tokens = np.asarray(image_tokens)
+        on_device = isinstance(image_tokens, jax.Array)
+        if not on_device:
+            image_tokens = np.asarray(image_tokens)
         last = num_steps - 1
-        for start in range(0, n, batch):
-            idx = order[start : start + batch]
-            real = idx.size
-            size = batch if real == batch else min(
-                batch, max(min_tail, 1 << (real - 1).bit_length())
+        for depth_val, _size, part, real in plan_sorted(
+            num_steps, batch, min_tail, multiple=self._data_axis
+        ):
+            img = (
+                jnp.take(image_tokens, jnp.asarray(part), axis=0)
+                if on_device else jnp.asarray(image_tokens[part])
             )
-            if size % self._data_axis:
-                size = ((size + self._data_axis - 1) // self._data_axis
-                        * self._data_axis)
-            padded = (np.concatenate([idx, np.repeat(idx[-1], size - real)])
-                      if real < size else idx)
-            depth = jnp.asarray(int(num_steps[padded].max()), jnp.int32)
             state = self._run_dyn(
-                jnp.asarray(image_tokens[padded]),
-                jnp.asarray(chains.functions[padded]),
-                jnp.asarray(chains.deps[padded]),
-                jnp.asarray(num_steps[padded]),
-                depth,
+                img,
+                jnp.asarray(chains.functions[part]),
+                jnp.asarray(chains.deps[part]),
+                jnp.asarray(num_steps[part]),
+                jnp.asarray(depth_val, jnp.int32),
             )
+            idx = part[:real]
             for key, leaf in zip(
                 ("box_cache", "box_mask", "conf_cache", "token_cache",
                  "token_branch"),

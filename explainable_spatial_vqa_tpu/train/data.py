@@ -82,6 +82,11 @@ def batches(
     order = (
         np.random.RandomState(seed + epoch).permutation(n) if shuffle else np.arange(n)
     )
+    if process_count > 1 and not drop_last:
+        # a partial final batch would slice with the full-batch host plan,
+        # giving hosts divergent shard shapes (host 0 gets the remainder,
+        # later hosts none) and stalling the global-array assembly
+        raise ValueError("multi-host batches() requires drop_last=True")
     if process_count > 1:
         from explainable_spatial_vqa_tpu.parallel.multihost import host_batch_slice
 

@@ -196,22 +196,9 @@ def main():
         END,
     ])
 
-    demo_path = os.environ.get(
-        "DEMO_OUT",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "DEMO.md"))
-    try:
-        text = open(demo_path).read()
-    except FileNotFoundError:
-        text = ""
-    if BEGIN in text and END in text:
-        pre, rest = text.split(BEGIN, 1)
-        _, post = rest.split(END, 1)
-        text = pre + section + post
-    else:
-        text = text.rstrip() + "\n\n" + section + "\n"
-    with open(demo_path, "w") as f:
-        f.write(text)
+    from demo_common import splice_section
+
+    demo_path = splice_section(section, BEGIN, END)
     print(f"wrote section to {demo_path}")
     print(section)
 

@@ -85,7 +85,24 @@ def main():
     ]
     results = {r: [] for r in regimes}  # regime -> [overall per seed]
 
+    # per-seed checkpoint: each completed seed appends its 4 regime scores,
+    # so an interrupted run (each seed is ~1h of TPU time) resumes instead of
+    # restarting.  Delete the file to force a fresh run.
+    ckpt_path = os.environ.get("DEMO_CKPT", "/tmp/scheduled_stats_partial.json")
+    done_seeds = 0
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            saved = json.load(f)
+        if saved.get("regimes") == regimes and saved.get("params") == [
+            num_scenes, exe_steps, eval_scenes_n, eval_qps, p, noise, drop
+        ]:
+            results = {r: list(v) for r, v in zip(regimes, saved["scores"])}
+            done_seeds = min(len(v) for v in results.values())
+            print(f"resuming: {done_seeds} seeds loaded from {ckpt_path}")
+
     for seed in seeds:
+        if seed < done_seeds:
+            continue
         print(f"=== seed {seed} ===")
         scenes_raw, questions = syn.synthesize_dataset(num_scenes, 6, seed=seed)
         scenes = {s["image_index"]: Scene.from_raw(s) for s in scenes_raw}
@@ -147,6 +164,14 @@ def main():
         results[regimes[3]].append(acc)
         print(f"  [tf+sched] {acc:.3f}")
 
+        with open(ckpt_path, "w") as f:
+            json.dump({
+                "regimes": regimes,
+                "params": [num_scenes, exe_steps, eval_scenes_n, eval_qps,
+                           p, noise, drop],
+                "scores": [results[r] for r in regimes],
+            }, f)
+
     # ---- statistics ----
     tf = np.asarray(results[regimes[0]])
     rows = []
@@ -190,22 +215,9 @@ def main():
         END,
     ])
 
-    demo_path = os.environ.get(
-        "DEMO_OUT",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "DEMO.md"))
-    try:
-        text = open(demo_path).read()
-    except FileNotFoundError:
-        text = ""
-    if BEGIN in text and END in text:
-        pre, rest = text.split(BEGIN, 1)
-        _, post = rest.split(END, 1)
-        text = pre + section + post
-    else:
-        text = text.rstrip() + "\n\n" + section + "\n"
-    with open(demo_path, "w") as f:
-        f.write(text)
+    from demo_common import splice_section
+
+    demo_path = splice_section(section, BEGIN, END)
     with open("/tmp/scheduled_stats.json", "w") as f:
         json.dump(stats, f, indent=2)
     print(f"wrote section to {demo_path}")

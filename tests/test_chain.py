@@ -155,16 +155,20 @@ def test_bucketed_matches_plain():
         np.testing.assert_allclose(bucketed[key], plain[key], atol=1e-6, err_msg=key)
 
     # depth-SORTED execution with a dynamic loop bound (the serving fast
-    # path) must also match exactly, including tail-batch padding
+    # path) must also match exactly, including tail-batch padding — for both
+    # image-token sources: device-resident jax.Array (per-batch on-device
+    # gather, the HBM-feature-cache path) and host numpy
     for b in (4, 6):
-        by_depth = runner.run_sorted(img, chains, batch=b, min_tail=2)
-        for key in ("final_tokens", "final_is_token", "box_mask",
-                    "token_cache", "token_branch"):
-            np.testing.assert_array_equal(by_depth[key], plain[key],
-                                          err_msg=f"{key} batch={b}")
-        for key in ("box_cache", "conf_cache"):
-            np.testing.assert_allclose(by_depth[key], plain[key], atol=1e-6,
-                                       err_msg=f"{key} batch={b}")
+        for img_in in (img, np.asarray(img)):
+            by_depth = runner.run_sorted(img_in, chains, batch=b, min_tail=2)
+            for key in ("final_tokens", "final_is_token", "box_mask",
+                        "token_cache", "token_branch"):
+                np.testing.assert_array_equal(by_depth[key], plain[key],
+                                              err_msg=f"{key} batch={b}")
+            for key in ("box_cache", "conf_cache"):
+                np.testing.assert_allclose(by_depth[key], plain[key],
+                                           atol=1e-6,
+                                           err_msg=f"{key} batch={b}")
 
 
 def test_seq2seq_bucketed_matches_plain():
