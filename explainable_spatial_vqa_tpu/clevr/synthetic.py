@@ -12,8 +12,9 @@ faithful data for tests, benchmarks, and learning demonstrations:
 - questions: deterministic template text per program (so question -> program
   is learnable);
 - features: synthetic "image features" that paint per-object attribute
-  one-hots into the spatial grid at box locations — an executor trained on
-  these must actually learn grounding, not memorize.
+  channels into the spatial grid with anti-aliased bbox coverage plus a
+  bilinear center splat — an executor trained on these must actually learn
+  grounding, not memorize.
 
 This is framework-native tooling (the reference has nothing comparable; its
 smoke data is first-N excerpts of real CLEVR).
@@ -296,28 +297,42 @@ def color_channel(color: str, shape: str, entangled: bool = False) -> int:
     return (_ENTANGLE_STRIDE[shape] * c + _ENTANGLE_OFFSET[shape]) % 8
 
 
+def _coverage_1d(lo: float, hi: float, grid: int) -> np.ndarray:
+    """Fraction of each unit cell [i, i+1) covered by the interval
+    [lo, hi) in cell coordinates (anti-aliased rectangle edge)."""
+    i = np.arange(grid, dtype=np.float32)
+    return np.clip(np.minimum(hi, i + 1.0) - np.maximum(lo, i), 0.0, 1.0)
+
+
 def scene_feature_map(
     scene_raw: Dict[str, Any], grid: int = 14, channels: int = 64,
     entangled: bool = False,
 ) -> np.ndarray:
     """Deterministic (channels, grid, grid) feature map encoding the scene.
 
-    Each object paints attribute one-hots (color 0-7, shape 8-10, size 11-12,
-    material 13-14, objectness 15) into every grid cell its bbox covers.
-    A model reading these features can ground filters/queries spatially; it
-    cannot shortcut via memorized image ids.
+    Each object paints its attribute channels (color 0-7, shape 8-10,
+    size 11-12, material 13-14, objectness 15) with the FRACTIONAL coverage
+    of each grid cell by its bbox (anti-aliased rectangle, merged across
+    objects by max), and bilinearly splats its box center into channel 16.
+    Anti-aliased edges keep sub-cell corner positions recoverable (binary
+    cell-snapped painting quantized corners to 1/grid — at CLEVR box sizes
+    of ~1-2 cells that made IoU 0.5 structurally unreachable) and the
+    center splat separates overlapping same-attribute instances, the two
+    cues real ResNet features carry at pixel resolution.  A model reading
+    these features must still learn grounding — nothing identifies the
+    image beyond its object layout.
 
     ``entangled=True`` routes color through :func:`color_channel`'s per-shape
     permutation (shape/size/material channels unchanged) so color decoding is
     shape-conditioned — required for the CoGenT transfer gap to exist.
     """
-    assert channels >= 16
+    assert channels >= 17
     feat = np.zeros((channels, grid, grid), np.float32)
     boxes = scene_bounding_boxes(scene_raw, decimals=None)
     for obj, box in zip(scene_raw["objects"], boxes):
-        x0, y0, x1, y1 = (box * grid).tolist()
-        cx0, cy0 = int(np.clip(x0, 0, grid - 1)), int(np.clip(y0, 0, grid - 1))
-        cx1, cy1 = int(np.clip(np.ceil(x1), 1, grid)), int(np.clip(np.ceil(y1), 1, grid))
+        x0, y0, x1, y1 = (np.asarray(box, np.float32) * grid).tolist()
+        cover = np.outer(_coverage_1d(y0, y1, grid),
+                         _coverage_1d(x0, x1, grid))
         chans = [
             color_channel(obj["color"], obj["shape"], entangled),
             8 + ATTRIBUTE_VALUES["shape"].index(obj["shape"]),
@@ -326,7 +341,17 @@ def scene_feature_map(
             15,
         ]
         for c in chans:
-            feat[c, cy0:cy1, cx0:cx1] = 1.0
+            np.maximum(feat[c], cover, out=feat[c])
+        # bilinear center splat: cell-center coordinates of the box center
+        cx = np.clip((x0 + x1) / 2.0 - 0.5, 0.0, grid - 1.0)
+        cy = np.clip((y0 + y1) / 2.0 - 0.5, 0.0, grid - 1.0)
+        ix, iy = int(cx), int(cy)
+        fx, fy = cx - ix, cy - iy
+        for dy, wy in ((0, 1.0 - fy), (1, fy)):
+            for dx, wx in ((0, 1.0 - fx), (1, fx)):
+                if wy * wx and iy + dy < grid and ix + dx < grid:
+                    feat[16, iy + dy, ix + dx] = max(
+                        feat[16, iy + dy, ix + dx], wy * wx)
     return feat
 
 

@@ -32,9 +32,12 @@ def test_synthetic_dataset_wellformed():
         assert q["question"].endswith("?")
     feat = syn.scene_feature_map(scenes[0])
     assert feat.shape == (64, 14, 14)
-    assert feat.max() == 1.0 and feat.min() == 0.0
+    assert 0.0 < feat.max() <= 1.0 and feat.min() == 0.0
     # objectness plane covers at least each object's box
     assert feat[15].sum() > 0
+    # one bilinear center splat per object (weights sum to 1 pre-merge)
+    assert feat[16].sum() > 0
+    assert (feat[16] > 0).sum() >= len(scenes[0]["objects"])
 
 
 @pytest.mark.slow
