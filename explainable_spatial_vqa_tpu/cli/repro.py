@@ -123,10 +123,18 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
                            args.torch_weights, args.resize, args.feature_batch)
     val = _prepare_split(args.clevr_root, "val", work, vocab, platform,
                          args.torch_weights, args.resize, args.feature_batch)
+    val_substituted = []
     for key in ("questions_h5", "features_h5"):
         if key not in train:
             raise SystemExit(f"train split is missing {key} inputs")
-        val.setdefault(key, train[key])
+        if key not in val:
+            val_substituted.append(key)
+            val[key] = train[key]
+    if val_substituted:
+        logger.warning(
+            "repro-clevr: val split lacks %s — substituting TRAIN-split "
+            "artifacts; the 'val' tables below are train-set (memorized) "
+            "numbers, not a held-out evaluation", "/".join(val_substituted))
     if "annotated_h5" not in train:
         raise SystemExit("train split needs scenes+questions for annotation")
     split_vocab = train["split_vocab"]
@@ -162,7 +170,10 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
     # 7. faithfulness + per-type + per-function tables on val
     tally_out = _tally(val, vocab, split_vocab, gen_ckpt, exe_ckpt, platform,
                        args.eval_limit)
-    report += ["## Tables 4.2 / 4.3 / 4.4 / 4.5 (val split)",
+    val_label = ("val split" if not val_substituted else
+                 "TRAIN split substituted for missing val "
+                 + "/".join(val_substituted) + " — not held-out")
+    report += [f"## Tables 4.2 / 4.3 / 4.4 / 4.5 ({val_label})",
                "answer accuracy by type; per-function box P/R @IoU0.5 and "
                "token accuracy on predicted chains; CPCA/CPIA/IPCA/IPIA "
                "quadrants:", "```", tally_out.strip(), "```", ""]
@@ -174,6 +185,10 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
         val_b = _prepare_split(args.cogent_b_root, "val", condb,
                                vocab, platform, args.torch_weights,
                                args.resize, args.feature_batch)
+        if "questions_h5" not in val_b or "features_h5" not in val_b:
+            raise SystemExit(
+                f"condition-B val split under {args.cogent_b_root} lacks "
+                "questions/images needed for the zero-shot valB cell")
         zero_a = tally_out
         zero_b = _tally(val_b, vocab, split_vocab, gen_ckpt, exe_ckpt,
                         platform, args.eval_limit)
@@ -184,6 +199,14 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
         train_b = _prepare_split(args.cogent_b_root, "train", condb,
                                  vocab, platform, args.torch_weights,
                                  args.resize, args.feature_batch)
+        missing = [k for k in ("questions_h5", "features_h5", "annotated_h5")
+                   if k not in train_b]
+        if missing:
+            raise SystemExit(
+                f"condition-B train split under {args.cogent_b_root} lacks "
+                f"{'/'.join(missing)} inputs (questions+scenes+images are "
+                "all required to fine-tune); rerun without --cogent_b_root "
+                "or complete the download")
         bs = ["--batch_size", str(args.batch_size)] if args.batch_size else []
         ft_gen = os.path.join(work, "ckpt_generator_ftB")
         ft_exe = os.path.join(work, "ckpt_executor_ftB")

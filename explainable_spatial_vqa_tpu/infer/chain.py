@@ -260,6 +260,22 @@ class ExecutorChainRunner:
             "token_branch": np.asarray(state.token_branch),
         }
 
+    def _empty_outputs(self, n: int) -> Dict[str, np.ndarray]:
+        """Zero-initialized full-size output caches that the batched runners
+        (run_bucketed / run_sorted) scatter per-batch results into — steps
+        past a question's executed depth stay zero/False, same as inactive
+        steps in the plain runner."""
+        s, q = self.max_steps, self.config.num_queries
+        return {
+            "final_tokens": np.zeros(n, np.int32),
+            "final_is_token": np.zeros(n, bool),
+            "box_cache": np.zeros((n, s, q, 4), np.float32),
+            "box_mask": np.zeros((n, s, q), bool),
+            "conf_cache": np.zeros((n, s, q), np.float32),
+            "token_cache": np.zeros((n, s), np.int32),
+            "token_branch": np.zeros((n, s), bool),
+        }
+
     def run_bucketed(
         self,
         image_tokens,
@@ -270,21 +286,10 @@ class ExecutorChainRunner:
         4-step question never pays for 28 loop iterations.  One compiled
         runner per bucket depth (cached across calls); results — including
         the full per-step caches, so downstream box-P/R tallies ride this
-        fast path — are scattered back into original order (steps past a
-        question's bucket depth stay zero/False, same as inactive steps in
-        the plain runner)."""
+        fast path — are scattered back into original order."""
         num_steps = np.asarray(chains.num_steps)
         n = len(num_steps)
-        s, q = self.max_steps, self.config.num_queries
-        full = {
-            "final_tokens": np.zeros(n, np.int32),
-            "final_is_token": np.zeros(n, bool),
-            "box_cache": np.zeros((n, s, q, 4), np.float32),
-            "box_mask": np.zeros((n, s, q), bool),
-            "conf_cache": np.zeros((n, s, q), np.float32),
-            "token_cache": np.zeros((n, s), np.int32),
-            "token_branch": np.zeros((n, s), bool),
-        }
+        full = self._empty_outputs(n)
         buckets = tuple(b for b in sorted(set(buckets)) if b <= self.max_steps)
         if not buckets or buckets[-1] < self.max_steps:
             buckets = buckets + (self.max_steps,)
@@ -340,16 +345,7 @@ class ExecutorChainRunner:
 
         num_steps = np.asarray(chains.num_steps)
         n = len(num_steps)
-        s, q = self.max_steps, self.config.num_queries
-        full = {
-            "final_tokens": np.zeros(n, np.int32),
-            "final_is_token": np.zeros(n, bool),
-            "box_cache": np.zeros((n, s, q, 4), np.float32),
-            "box_mask": np.zeros((n, s, q), bool),
-            "conf_cache": np.zeros((n, s, q), np.float32),
-            "token_cache": np.zeros((n, s), np.int32),
-            "token_branch": np.zeros((n, s), bool),
-        }
+        full = self._empty_outputs(n)
         on_device = isinstance(image_tokens, jax.Array)
         if not on_device:
             image_tokens = np.asarray(image_tokens)

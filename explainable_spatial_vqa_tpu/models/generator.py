@@ -89,30 +89,31 @@ class ProgramGenerator(nn.Module):
         batch = questions.shape[0]
         init = self.enc_fwd.initialize_carry(jax.random.PRNGKey(0), (batch,))
 
+        # NOTE: the two directions must stay SEPARATE nn.scan calls.  A
+        # merged single-scan form (both stacks stepped in one body, scanning
+        # over `self`) is numerically identical and was latency-neutral on
+        # TPU, but reproducibly SIGABRTs XLA:CPU when differentiated under
+        # the 8-device test mesh (fatal abort inside the compiled train
+        # step; tests/test_e2e.py::test_real_fixture_full_chain_trainability
+        # caught it).  Do not re-merge without re-running that test.
+        carry_f, outs_f = nn.scan(
+            lambda mdl, c, x: mdl(c, x),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )(self.enc_fwd, init, emb)
+
         if cfg.bidirectional and not cfg.simple:
-            # Both directions ride ONE scan (independent carries; the bwd
-            # stack consumes the time-reversed embeddings), halving the
-            # number of sequential while-loop iterations — the encoder is
-            # latency-bound per iteration at serving batch sizes, not
-            # compute-bound, so loop count is what costs.  Numerics are
-            # identical to two separate scans (same cells, same inputs).
             init_b = self.enc_bwd.initialize_carry(jax.random.PRNGKey(0), (batch,))
             emb_rev = jnp.flip(emb, axis=1)
-
-            def both_steps(mdl, carry, xs):
-                cf, cb = carry
-                xf, xb = xs
-                cf, of = mdl.enc_fwd(cf, xf)
-                cb, ob = mdl.enc_bwd(cb, xb)
-                return (cf, cb), (of, ob)
-
-            (carry_f, carry_b), (outs_f, outs_b) = nn.scan(
-                both_steps,
+            carry_b, outs_b = nn.scan(
+                lambda mdl, c, x: mdl(c, x),
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=1,
                 out_axes=1,
-            )(self, (init, init_b), (emb, emb_rev))
+            )(self.enc_bwd, init_b, emb_rev)
             outs_b = jnp.flip(outs_b, axis=1)
             enc_outputs = self.enc_proj(jnp.concatenate([outs_f, outs_b], axis=-1))
             # decoder init: combine directions per layer (sum of c and h)
@@ -120,13 +121,6 @@ class ProgramGenerator(nn.Module):
                 (cf[0] + cb[0], cf[1] + cb[1]) for cf, cb in zip(carry_f, carry_b)
             )
         else:
-            carry_f, outs_f = nn.scan(
-                lambda mdl, c, x: mdl(c, x),
-                variable_broadcast="params",
-                split_rngs={"params": False},
-                in_axes=1,
-                out_axes=1,
-            )(self.enc_fwd, init, emb)
             enc_outputs = outs_f
             dec_init = carry_f
 

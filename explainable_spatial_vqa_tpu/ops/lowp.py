@@ -19,9 +19,14 @@ as long as the *accumulations* stay fp32:
 Flags follow the module-global trace-time pattern of
 ``ops.attention.use_pallas_attention``: jitted functions compiled BEFORE a
 toggle keep their old routing (jax caches traces) — set flags before the
-first jitted call, or ``jax.clear_caches()`` first.  Both default OFF:
-training and reference-parity runs keep fp32 LN/softmax IO; serving
-(bench.py) opts in after the parity gates in tests/test_lowp.py.
+first jitted call, or ``jax.clear_caches()`` first.  Both default OFF —
+and measurement kept them off: on the live TPU the lowp paths did NOT beat
+fp32-IO at serving shapes (LN unchanged because XLA already fuses it into
+the matmul epilogue; bf16-materialized softmax ~7% SLOWER — the convert
+pair plus fusion barrier outweigh the bandwidth saved; docs/DESIGN.md §10).
+bench.py therefore does NOT enable lowp; the module stays as the
+parity-gated (tests/test_lowp.py) opt-in for future shapes where the
+bandwidth math differs.
 """
 
 from __future__ import annotations

@@ -94,7 +94,8 @@ def main():
         with open(ckpt_path) as f:
             saved = json.load(f)
         if saved.get("regimes") == regimes and saved.get("params") == [
-            num_scenes, exe_steps, eval_scenes_n, eval_qps, p, noise, drop
+            num_scenes, exe_steps, gen_steps, eval_scenes_n, eval_qps,
+            p, noise, drop, ft_frac
         ]:
             results = {r: list(v) for r, v in zip(regimes, saved["scores"])}
             done_seeds = min(len(v) for v in results.values())
@@ -167,8 +168,8 @@ def main():
         with open(ckpt_path, "w") as f:
             json.dump({
                 "regimes": regimes,
-                "params": [num_scenes, exe_steps, eval_scenes_n, eval_qps,
-                           p, noise, drop],
+                "params": [num_scenes, exe_steps, gen_steps, eval_scenes_n,
+                           eval_qps, p, noise, drop, ft_frac],
                 "scores": [results[r] for r in regimes],
             }, f)
 

@@ -121,7 +121,8 @@ def main():
         (matmul_class(f"dec cross apl (B·H){Q}x{L}x{hd}", Q, L, hd, batch=B * H), DL),
         (matmul_class("dec FFN-up (BQ,d)x(d,4d)", B * Q, d, ffn), DL),
         (matmul_class("dec FFN-dn (BQ,4d)x(4d,d)", B * Q, ffn, d), DL),
-        (matmul_class("box MLP (B·10,4->d->d)", B * exe_cfg.max_input_boxes, d, d), 2),
+        (matmul_class("box MLP L1 (B·10,4)x(4,d)", B * exe_cfg.max_input_boxes, 4, d), 1),
+        (matmul_class("box MLP L2 (B·10,d)x(d,d)", B * exe_cfg.max_input_boxes, d, d), 1),
     ]
 
     print(f"\nshapes: B={B} L={L} d={d} H={H} ffn={ffn} Q={Q} "

@@ -6,9 +6,9 @@ tolerance of the fp32-IO path, and every DECISIVE decision (routing branch,
 argmax token, thresholded boxes — wherever the fp32 margin exceeds twice the
 numeric tolerance) must be identical.  Near-ties can legitimately flip under
 ANY rounding change (including a different fp32 op order), so decision
-equality is margin-gated here; answer-level parity on a TRAINED model is
-checked by the demo protocol (scripts/demo_end_to_end.py --lowp-check,
-recorded in DEMO.md)."""
+equality is margin-gated here.  (Measurement kept lowp OFF in serving —
+docs/DESIGN.md §10 records it as a negative result — so these gates guard
+a dormant opt-in, not a shipped configuration.)"""
 
 import jax
 import jax.numpy as jnp

@@ -82,3 +82,73 @@ def test_repro_clevr_single_invocation(tmp_path, capsys):
     payload = json.loads(out.strip().splitlines()[-1])
     assert payload["report"].endswith("REPORT.md")
     assert pathlib.Path(payload["checkpoints"][0]).exists()
+
+
+def _stubbed_repro(monkeypatch, tmp_path, splits, cogent_b=None):
+    """Drive cmd_repro_clevr's ORCHESTRATION with the heavy subcommands
+    stubbed out: _prepare_split returns canned artifact dicts per
+    (root, split), _sub records its argv.  Exercises the control flow the
+    slow fixture test cannot reach (missing-input substitution/failure,
+    the CoGenT fine-tune branch)."""
+    import argparse
+
+    from explainable_spatial_vqa_tpu.cli import repro
+
+    calls = []
+    monkeypatch.setattr(repro, "_sub", lambda argv, platform=None:
+                        calls.append(list(argv)) or "stub-tally-output")
+    monkeypatch.setattr(
+        repro, "_prepare_split",
+        lambda root, split, work, *a, **k: dict(splits[(root, split)]))
+    monkeypatch.setattr(
+        repro, "_find",
+        lambda root, *cands: str(tmp_path / "q.json"))
+    monkeypatch.setattr(repro.shutil, "copytree",
+                        lambda *a, **k: None)
+    args = argparse.Namespace(
+        clevr_root="A", workdir=str(tmp_path / "w"), platform="cpu",
+        torch_weights=None, resize="pil", feature_batch=8,
+        gen_epochs=1, exe_epochs=1, ft_epochs=1, batch_size=4,
+        eval_limit=8, cogent_b_root=cogent_b)
+    repro.cmd_repro_clevr(args)
+    return calls, (tmp_path / "w" / "REPORT.md").read_text()
+
+
+FULL = {"questions_h5": "q.h5", "features_h5": "f.h5",
+        "annotated_h5": "a.h5", "split_vocab": "sv.json"}
+
+
+def test_repro_cogent_branch_uses_batch_size(monkeypatch, tmp_path, capsys):
+    """The fine-tune-on-B trainings must carry --batch_size (regression:
+    the bs list was defined only outside the branch at one point)."""
+    splits = {("A", "train"): FULL, ("A", "val"): FULL,
+              ("B", "train"): FULL, ("B", "val"): FULL}
+    calls, report = _stubbed_repro(monkeypatch, tmp_path, splits, cogent_b="B")
+    ft_trains = [c for c in calls if c[0] == "train"
+                 and "ftB" in " ".join(c)]
+    assert len(ft_trains) == 2
+    for c in ft_trains:
+        assert "--batch_size" in c and "4" in c
+    assert "## Table 4.6 (CoGenT A->B)" in report
+    assert "fine-tune B, eval valB" in report
+
+
+def test_repro_val_substitution_is_labeled(monkeypatch, tmp_path, capsys):
+    """A val split with no images/questions falls back to TRAIN artifacts,
+    and the report must say so instead of presenting memorized numbers as
+    held-out."""
+    splits = {("A", "train"): FULL,
+              ("A", "val"): {"questions_h5": "q.h5"}}  # no features
+    calls, report = _stubbed_repro(monkeypatch, tmp_path, splits)
+    assert "TRAIN split substituted" in report
+    assert "not held-out" in report
+
+
+def test_repro_condb_missing_inputs_fails_loud(monkeypatch, tmp_path, capsys):
+    """Condition-B roots missing required inputs must abort with a clear
+    message, not crash later or silently reuse condition-A data."""
+    splits = {("A", "train"): FULL, ("A", "val"): FULL,
+              ("B", "train"): {"questions_h5": "q.h5"},  # no features/annot
+              ("B", "val"): FULL}
+    with pytest.raises(SystemExit, match="condition-B train split"):
+        _stubbed_repro(monkeypatch, tmp_path, splits, cogent_b="B")
