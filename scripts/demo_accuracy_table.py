@@ -66,6 +66,8 @@ def main():
     noise = float(os.environ.get("DEMO_NOISE", "0.03"))
     drop = float(os.environ.get("DEMO_DROP", "0.1"))
     seed = int(os.environ.get("DEMO_SEED", "3"))
+    lr_schedule = os.environ.get("DEMO_LR_SCHEDULE", "constant")
+    d_model = int(os.environ.get("DEMO_DMODEL", "0"))  # 0 = protocol default
     max_steps = 12
 
     print(f"synthesizing corpus ({num_scenes} scenes x {qps}, "
@@ -88,14 +90,29 @@ def main():
 
     print(f"training generator on {len(train_q)} questions...")
     generator, gen_vars, _gcfg, gen_loss = train_generator_synthetic(
-        train_q, clevr_vocab, steps=gen_steps, seed=seed)
+        train_q, clevr_vocab, steps=gen_steps, seed=seed,
+        lr_schedule=lr_schedule)
     print(f"  final loss {gen_loss:.4f}")
 
+    exe_config = None
+    if d_model:
+        from explainable_spatial_vqa_tpu.core.config import ExecutorConfig
+
+        exe_config = ExecutorConfig(
+            vocab_size=len(split_vocab["function"]) + 1,
+            d_model=d_model, num_heads=4, encoder_layers=2,
+            box_decoder_layers=1, num_queries=8, num_image_tokens=196,
+            image_feature_dim=64, max_input_boxes=8,
+            token_classes=len(split_vocab["other"]) + 1, dropout=0.0,
+            input_box_noise=noise, input_box_drop=drop,
+        )
     print(f"training executor on {len(train_ann)} annotated questions "
-          f"({exe_steps} steps, noise={noise}, drop={drop})...")
+          f"({exe_steps} steps, noise={noise}, drop={drop}, "
+          f"lr_schedule={lr_schedule}"
+          + (f", d_model={d_model}" if d_model else "") + ")...")
     executor, exe_vars, exe_cfg, exe_loss = train_executor_synthetic(
         train_ann, split_vocab, features, steps=exe_steps, seed=seed,
-        noise=noise, drop=drop)
+        noise=noise, drop=drop, lr_schedule=lr_schedule, config=exe_config)
     print(f"  final loss {exe_loss:.4f}")
 
     # ---- Table 4.2 + 4.5: full pipeline on held-out scenes ----
@@ -156,8 +173,10 @@ def main():
         "",
         f"`scripts/demo_accuracy_table.py` — {num_scenes} scenes × {qps} "
         f"questions (hop_prob={hop_prob}: relate/same_* joins), "
-        f"{exe_steps} executor steps (grounding noise {noise}/{drop}), "
-        f"{len(eval_q)} eval questions on held-out scenes, platform "
+        f"{exe_steps} executor steps (grounding noise {noise}/{drop}"
+        + (f", lr_schedule={lr_schedule}" if lr_schedule != "constant" else "")
+        + (f", d_model={d_model}" if d_model else "")
+        + f"), {len(eval_q)} eval questions on held-out scenes, platform "
         f"{platform}, {elapsed:.0f}s.",
         "",
         "### Answer accuracy by question type (Table 4.2 format; "

@@ -40,6 +40,23 @@ def test_synthetic_dataset_wellformed():
     assert (feat[16] > 0).sum() >= len(scenes[0]["objects"])
 
 
+def test_protocol_lr_schedules():
+    """Both optimizer schedules run and an unknown name is rejected."""
+    from explainable_spatial_vqa_tpu.train.synthetic_protocol import (
+        _make_optimizer,
+        train_generator_synthetic,
+    )
+
+    scenes_raw, questions = syn.synthesize_dataset(3, 2, seed=0)
+    vocab = voc.build_clevr_vocab([questions])
+    for sched in ("constant", "cosine"):
+        _, _, _, loss = train_generator_synthetic(
+            questions, vocab, steps=3, seed=0, lr_schedule=sched)
+        assert np.isfinite(loss)
+    with pytest.raises(ValueError):
+        _make_optimizer(1e-3, "nope", 10)
+
+
 @pytest.mark.slow
 def test_executor_learns_grounded_steps():
     """The thesis executor must learn routing (~free), value tokens (well
