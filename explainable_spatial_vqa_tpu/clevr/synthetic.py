@@ -173,8 +173,11 @@ def random_question(
 
     Templates: [scene] -> 1-2 filters -> {count | exist | unique -> query_*},
     plus the two-branch DAG families [scene] -> branch x2 ->
-    {count x2 -> greater/less/equal_integer | unique+query x2 -> equal_*}
-    (CLEVR's compare_number / compare_attribute question types).  With
+    {count x2 -> greater/less/equal_integer | unique+query x2 -> equal_* |
+    union/intersect -> count/exist} (CLEVR's compare_number /
+    compare_attribute / single_or "either X or Y" / single_and "both X and
+    Y" question types — union and intersect are the two set-typed 2-input
+    functions of thesis Table 4.3).  With
     ``hop_prob`` > 0 branches may extend through relate / same_* joins
     (see :func:`_filter_branch`), CLEVR's relational-hop families.
     Returns None when the sampled program is INVALID on the scene (e.g.
@@ -182,11 +185,23 @@ def random_question(
     resamples.
     """
     program: List[Dict[str, Any]] = [_node("scene")]
-    terminal = ["count", "exist", "query", "compare_num", "compare_attr"][
-        rng.randint(5)
-    ]
+    terminal = ["count", "exist", "query", "compare_num", "compare_attr",
+                "setop"][rng.randint(6)]
 
-    if terminal in ("compare_num", "compare_attr"):
+    if terminal == "setop":
+        i1, t1 = _filter_branch(rng, program, hop_prob=hop_prob / 2)
+        i2, t2 = _filter_branch(rng, program, hop_prob=hop_prob / 2)
+        op = ("union", "intersect")[rng.randint(2)]
+        program.append(_node(op, [i1, i2]))
+        final = ("count", "exist")[rng.randint(2)]
+        program.append(_node(final, [len(program) - 1]))
+        joiner = "or" if op == "union" else "and"
+        question = (
+            f"how many things are {t1} {joiner} {t2}"
+            if final == "count"
+            else f"are there any things that are {t1} {joiner} {t2}"
+        )
+    elif terminal in ("compare_num", "compare_attr"):
         # halve the per-branch hop rate: two branches, same expected hops
         i1, t1 = _filter_branch(rng, program, hop_prob=hop_prob / 2)
         i2, t2 = _filter_branch(rng, program, hop_prob=hop_prob / 2)

@@ -171,6 +171,82 @@ def test_bucketed_matches_plain():
                                            err_msg=f"{key} batch={b}")
 
 
+def test_executor_chain_two_box_deps_matches_sequential():
+    """A union-style step (TWO box-output dependencies — thesis Table 4.3's
+    union/intersect) must equal per-question sequential execution: both
+    dependencies' box sets concatenated, compacted valid-first, truncated to
+    max_input_boxes (infer.chain.gather_step_inputs semantics)."""
+    cfg = ExecutorConfig(
+        vocab_size=16, d_model=32, num_heads=4, encoder_layers=1,
+        box_decoder_layers=1, num_queries=3, num_image_tokens=4,
+        image_feature_dim=8, max_input_boxes=4, token_classes=8,
+    )
+    model = ProgramExecutor(cfg)
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(1, 4, 8), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), img, jnp.zeros((1, 4, 4)), jnp.ones((1, 4), bool),
+        jnp.zeros((1, 3), jnp.int32), jnp.ones((1, 3), bool),
+    )
+    # scene -> filter(0) -> union(0, 1) -> count(2)
+    max_steps = 4
+    functions = np.asarray([[1, 2, 4, 3]], np.int32)
+    deps = np.full((1, max_steps, 2), -1, np.int64)
+    deps[0, 1, 0] = 0
+    deps[0, 2] = [0, 1]
+    deps[0, 3, 0] = 2
+    chains = ChainArrays(np.zeros(1, np.int32), functions, deps,
+                         np.asarray([4], np.int32), [""])
+
+    runner = ExecutorChainRunner(model, variables, cfg, max_steps=max_steps)
+    out = runner.run(img, chains)
+
+    # sequential replica with numpy cache bookkeeping
+    img_pre = model.apply(variables, img, method=model.precompute_image)
+    q = cfg.num_queries
+    box_cache = np.zeros((max_steps, q, 4), np.float32)
+    box_mask = np.zeros((max_steps, q), bool)
+    token_cache = np.zeros(max_steps, np.int32)
+    token_branch = np.zeros(max_steps, bool)
+    for k in range(max_steps):
+        all_boxes = np.zeros((0, 4), np.float32)
+        text = [int(functions[0, k])]
+        tmask = [True]
+        for d in range(2):
+            dep = int(deps[0, k, d])
+            bx = box_cache[dep] if dep >= 0 else np.zeros((q, 4), np.float32)
+            bm = box_mask[dep] if dep >= 0 else np.zeros(q, bool)
+            all_boxes = np.concatenate([all_boxes, bx[bm]], axis=0)
+            tok_ok = dep >= 0 and token_branch[dep]
+            text.append(int(token_cache[dep]) if tok_ok else 0)
+            tmask.append(bool(tok_ok))
+        boxes_in = np.zeros((1, cfg.max_input_boxes, 4), np.float32)
+        take = min(cfg.max_input_boxes, len(all_boxes))
+        boxes_in[0, :take] = all_boxes[:take]
+        bmask_in = (np.arange(cfg.max_input_boxes) < take)[None]
+        step_out = model.apply(
+            variables, img_pre, jnp.asarray(boxes_in), jnp.asarray(bmask_in),
+            jnp.asarray([text], jnp.int32), jnp.asarray([tmask], bool),
+            image_precomputed=True,
+        )
+        is_box = int(np.argmax(np.asarray(step_out["routing_logits"])[0])) == 0
+        if is_box:
+            box_cache[k] = np.asarray(step_out["pred_boxes"])[0]
+            box_mask[k] = (
+                np.asarray(step_out["pred_conf"])[0] >= cfg.conf_threshold
+            )
+        else:
+            token_cache[k] = int(np.argmax(np.asarray(step_out["token_logits"])[0]))
+            token_branch[k] = True
+
+    np.testing.assert_array_equal(out["box_mask"][0], box_mask)
+    np.testing.assert_array_equal(out["token_cache"][0], token_cache)
+    np.testing.assert_array_equal(out["token_branch"][0], token_branch)
+    masked = np.where(box_mask[..., None], box_cache, 0.0)
+    got = np.where(out["box_mask"][0][..., None], out["box_cache"][0], 0.0)
+    np.testing.assert_allclose(got, masked, atol=1e-5)
+
+
 def test_seq2seq_bucketed_matches_plain():
     from explainable_spatial_vqa_tpu.infer.chain import run_bucketed_seq2seq
 

@@ -40,6 +40,31 @@ def test_synthetic_dataset_wellformed():
     assert (feat[16] > 0).sum() >= len(scenes[0]["objects"])
 
 
+def test_synthetic_setop_questions():
+    """The corpus generates union/intersect DAGs (thesis Table 4.3's two
+    set-typed 2-input functions) that execute, annotate, and parse."""
+    scenes, questions = syn.synthesize_dataset(30, 6, seed=0)
+    by_fn = {
+        fn: [q for q in questions
+             if any(n["function"] == fn for n in q["program"])]
+        for fn in ("union", "intersect")
+    }
+    for fn, qs in by_fn.items():
+        assert qs, f"no {fn} questions in 180 samples"
+        q = qs[0]
+        node = next(n for n in q["program"] if n["function"] == fn)
+        assert len(node["inputs"]) == 2
+        assert q["program"][-1]["function"] in ("count", "exist")
+    # the annotation factory threads both box inputs through the set op
+    scene_map = {s["image_index"]: Scene.from_raw(s) for s in scenes}
+    q = by_fn["union"][0]
+    annotated = ann.annotate_question(q, scene_map[q["image_index"]])
+    assert len(annotated["annotated_program"]) == len(q["program"])
+    set_step = next(s for s in annotated["annotated_program"]
+                    if s["function"] == "union")
+    assert len(set_step["inputs"]) == 2
+
+
 def test_protocol_lr_schedules():
     """Both optimizer schedules run and an unknown name is rejected."""
     from explainable_spatial_vqa_tpu.train.synthetic_protocol import (
