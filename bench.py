@@ -177,11 +177,12 @@ def synth_questions(n, exe_cfg, max_steps=27, seed=0):
     return features, questions, chains
 
 
-def analytic_flops_per_question(gen_cfg, exe_cfg, q_len=46, steps=1):
-    """Forward FLOPs (2*MACs, matmul terms only) for one question with
-    ``steps`` executed chain steps.  Elementwise/softmax/LN terms are omitted
-    (<2% at these shapes), so this slightly UNDER-counts — mfu is
-    conservative."""
+def flop_components(gen_cfg, exe_cfg, q_len=46):
+    """Per-question forward-FLOP building blocks (2*MACs, matmul terms only;
+    elementwise/softmax/LN omitted, <2% at these shapes).  Returns a dict of
+    {gen_encode, gen_dec_step, exe_precompute, exe_step} so callers (the mfu
+    numerator here; scripts/mfu_decomposition.py's segment accounting) share
+    one formula."""
     h, e = gen_cfg.hidden_dim, gen_cfg.embed_dim
     # encoder: bi-LSTM, layer 0 input e, upper layers input 2h
     lstm = lambda cin: 2 * 4 * h * (cin + h)  # noqa: E731
@@ -192,10 +193,6 @@ def analytic_flops_per_question(gen_cfg, exe_cfg, q_len=46, steps=1):
         + 2 * h * gen_cfg.program_vocab_size
         + 2 * 2 * q_len * h  # Luong dot-product scores + context
     )
-    # useful decode length for an S-step chain is ~S tokens + END; the
-    # pipeline decodes full program_len (it cannot know S pre-generation),
-    # so counting steps+2 keeps the mfu numerator conservative
-    gen_flops = q_len * enc_step + min(gen_cfg.program_len, steps + 2) * dec_step
 
     d = exe_cfg.d_model
     L = 1 + exe_cfg.num_image_tokens + exe_cfg.max_input_boxes + 3
@@ -220,7 +217,23 @@ def analytic_flops_per_question(gen_cfg, exe_cfg, q_len=46, steps=1):
         + 2 * exe_cfg.max_input_boxes * d * (4 + d)  # box MLP
     )
     precompute = 2 * exe_cfg.num_image_tokens * exe_cfg.image_feature_dim * d
-    return gen_flops + precompute + steps * per_step
+    return {
+        "gen_encode": q_len * enc_step,
+        "gen_dec_step": dec_step,
+        "exe_precompute": precompute,
+        "exe_step": per_step,
+    }
+
+
+def analytic_flops_per_question(gen_cfg, exe_cfg, q_len=46, steps=1):
+    """Forward FLOPs for one question with ``steps`` executed chain steps
+    (USEFUL accounting — see :func:`flop_components` for the terms)."""
+    c = flop_components(gen_cfg, exe_cfg, q_len)
+    # useful decode length for an S-step chain is ~S tokens + END; the
+    # pipeline decodes full program_len (it cannot know S pre-generation),
+    # so counting steps+2 keeps the mfu numerator conservative
+    gen_flops = c["gen_encode"] + min(gen_cfg.program_len, steps + 2) * c["gen_dec_step"]
+    return gen_flops + c["exe_precompute"] + steps * c["exe_step"]
 
 
 # Batch planning is SHARED with serving (ExecutorChainRunner.run_sorted)

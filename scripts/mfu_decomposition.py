@@ -2,24 +2,31 @@
 """End-to-end MFU decomposition of the serving benchmark (VERDICT r2 #1).
 
 bench.py's headline MFU divides USEFUL flops (actual chain depths,
-conservative analytic count) by TOTAL wall time.  This script splits the
-gap between that number and the executor's per-(row,step) efficiency into
-its three factors, each measured on the live TPU with the exact bench
-configuration (N=1024, B=128, real fixture program distribution):
+conservative analytic count) by TOTAL wall time.  This script rebuilds
+bench.run_vectorized's EXACT pipeline (same plan, same jits, same
+async-dispatch-then-materialize structure — any deviation measures a
+different program, as the first version of this script proved by timing
+a per-batch-synchronizing loop at 0.40 MFU vs the bench's 0.55) and
+splits the headline into measured factors:
 
-    MFU_e2e = MFU_step                 # executor chain at executed shapes
-            x flop_efficiency          # useful / executed flops (plan_sorted
-                                       #   in-batch depth spread + tail pad)
-            x chain_time_share         # chain time / total time (generator
-                                       #   whole-set decode + dispatch)
+    MFU_e2e = MFU_step                 # executor XLA efficiency at the
+                                       #   EXECUTED (padded) shapes
+            x flop_efficiency          # useful / executed chain flops
+                                       #   (plan_sorted in-batch depth
+                                       #   spread + pow2 tail padding)
+            x chain_time_share         # chain wall / total wall (the rest
+                                       #   is generator decode + dispatch)
+            x (1 + gen_useful/chain_useful)   # generator flops credited
+                                       #   to the numerator but timed in
+                                       #   the non-chain segment
 
 If the product of the measured factors reproduces the measured end-to-end
 MFU, the pipeline adds no unexplained overhead, and the ceiling question
 reduces to MFU_step — the XLA codegen efficiency of one executor forward
-at (B=128, L=210, d=512), which docs/DESIGN.md S5 showed hand kernels do
+at (B<=128, L=210, d=512), which docs/DESIGN.md §5 showed hand kernels do
 not beat at these shapes.
 
-Usage: python scripts/mfu_decomposition.py   (TPU; ~3 min, run alone)
+Usage: python scripts/mfu_decomposition.py   (TPU; ~5 min, run alone)
 """
 
 from __future__ import annotations
@@ -36,21 +43,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from bench import (  # noqa: E402
-    analytic_flops_per_question,
     build_pipeline,
     chip_peak_flops,
+    flop_components,
     synth_questions,
 )
 from explainable_spatial_vqa_tpu.infer.chain import chained_forward  # noqa: E402
 from explainable_spatial_vqa_tpu.infer.plan import plan_sorted  # noqa: E402
-
-
-def _exe_step_flops(gen_cfg, exe_cfg):
-    """Analytic flops of ONE executor chain step for ONE row (no generator,
-    no image precompute): difference of the bench's per-question count."""
-    return analytic_flops_per_question(gen_cfg, exe_cfg, steps=2) - (
-        analytic_flops_per_question(gen_cfg, exe_cfg, steps=1)
-    )
 
 
 def main():
@@ -63,9 +62,8 @@ def main():
     max_steps = chains.functions.shape[1]
     num_steps_np = np.asarray(chains.num_steps)
 
-    features_dev = jax.device_put(jnp.asarray(features))
     questions_dev = jax.device_put(jnp.asarray(questions))
-    shared = tuple(
+    shared = (jax.device_put(jnp.asarray(features)),) + tuple(
         jax.device_put(jnp.asarray(a))
         for a in (chains.image_index, chains.functions, chains.deps, chains.num_steps)
     )
@@ -91,6 +89,22 @@ def main():
         for depth, size, part, real in plan_sorted(chains.num_steps, batch)
     ]
 
+    # Segment runners with bench.run_vectorized's dispatch structure:
+    # issue EVERY dispatch async, materialize deliverables at the end
+    # (transfers overlap execution; a per-batch np.asarray() loop instead
+    # serializes on the ~5.5 ms axon round-trip per batch).
+    def run_gen():
+        return np.asarray(gen_all(questions_dev))
+
+    def run_chain():
+        outs = [batch_fn(sel, depth, *shared) for sel, depth, _d, _s, _r in plan]
+        return [np.asarray(o.token_cache) for o in outs]
+
+    def run_total():
+        programs = gen_all(questions_dev)
+        outs = [batch_fn(sel, depth, *shared) for sel, depth, _d, _s, _r in plan]
+        return np.asarray(programs), [np.asarray(o.token_cache) for o in outs]
+
     def time_best(fn):
         fn()  # warmup/compile
         best = float("inf")
@@ -100,31 +114,37 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_gen = time_best(lambda: np.asarray(gen_all(questions_dev)))
-    t_chain = time_best(lambda: [
-        np.asarray(batch_fn(sel, depth, features_dev, *shared).token_cache)
-        for sel, depth, _d, _s, _r in plan
-    ])
-    t_total = time_best(lambda: (
-        np.asarray(gen_all(questions_dev)),
-        [np.asarray(batch_fn(sel, depth, features_dev, *shared).token_cache)
-         for sel, depth, _d, _s, _r in plan],
-    ))
+    t_gen = time_best(run_gen)
+    t_chain = time_best(run_chain)
+    t_total = time_best(run_total)
 
     peak = chip_peak_flops()
-    step_flops = _exe_step_flops(gen_cfg, exe_cfg)
+    c = flop_components(gen_cfg, exe_cfg)
+
     useful_steps = int(num_steps_np.sum())
     executed_steps = sum(size * d for _sel, _dep, d, size, _r in plan)
-    useful_flops = sum(
-        analytic_flops_per_question(gen_cfg, exe_cfg, steps=int(s))
-        for s in num_steps_np
-    )
-    executed_exe_flops = executed_steps * step_flops
+    executed_rows = sum(size for _sel, _dep, _d, size, _r in plan)
 
-    mfu_step = executed_exe_flops / t_chain / peak
-    flop_eff = useful_steps / executed_steps
+    # chain-segment flops: image precompute once per ROW + one step per
+    # executed (row, step) loop iteration
+    useful_chain = useful_steps * c["exe_step"] + n * c["exe_precompute"]
+    executed_chain = (
+        executed_steps * c["exe_step"] + executed_rows * c["exe_precompute"]
+    )
+    # generator useful flops: encode + (steps+2)-token decode (bench's
+    # conservative accounting); executed decode is full program_len
+    useful_gen = n * c["gen_encode"] + int(
+        np.minimum(gen_cfg.program_len, num_steps_np + 2).sum()
+    ) * c["gen_dec_step"]
+    executed_gen = n * (
+        c["gen_encode"] + gen_cfg.program_len * c["gen_dec_step"]
+    )
+
+    mfu_step = executed_chain / t_chain / peak
+    flop_eff = useful_chain / executed_chain
     chain_share = t_chain / t_total
-    mfu_e2e = useful_flops / t_total / peak
+    gen_credit = 1.0 + useful_gen / useful_chain
+    mfu_e2e = (useful_gen + useful_chain) / t_total / peak
 
     out = {
         "n": n, "batch": batch,
@@ -133,7 +153,9 @@ def main():
         "mfu_step_executed": mfu_step,
         "flop_efficiency_useful_over_executed": flop_eff,
         "chain_time_share": chain_share,
-        "predicted_e2e_mfu_product": mfu_step * flop_eff * chain_share,
+        "generator_numerator_credit": gen_credit,
+        "generator_flop_efficiency": useful_gen / executed_gen,
+        "predicted_e2e_mfu_product": mfu_step * flop_eff * chain_share * gen_credit,
         "measured_e2e_mfu": mfu_e2e,
         "qa_per_sec": n / t_total,
         "peak_flops": peak,
@@ -142,7 +164,8 @@ def main():
     print(
         f"\nMFU_e2e {mfu_e2e:.3f} vs product "
         f"{mfu_step:.3f} (per-step) x {flop_eff:.3f} (packing) x "
-        f"{chain_share:.3f} (chain share) = {mfu_step * flop_eff * chain_share:.3f}"
+        f"{chain_share:.3f} (chain share) x {gen_credit:.3f} (gen credit) "
+        f"= {mfu_step * flop_eff * chain_share * gen_credit:.3f}"
     )
 
 
