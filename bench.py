@@ -335,13 +335,35 @@ def run_vectorized(n, batch, device):
     shared = (features_dev, image_index_dev, functions_dev,
               deps_dev, num_steps_dev)
 
-    def run_all():
-        programs = gen_all(questions_dev)
-        outs = [batch_fn(sel, depth, *shared) for sel, depth, _real in plan]
-        # materialize the generated programs and every batch's answer
-        # tokens on host (the deliverables; all dispatches above are
-        # async, so transfers overlap execution)
-        return np.asarray(programs), [np.asarray(state.token_cache) for state in outs]
+    # BENCH_MODE=pool: the continuous-batching path (docs/DESIGN.md §10.2)
+    # — ONE jitted while_loop over `batch` slots for the whole set, finished
+    # questions retiring mid-loop, vs the default depth-sorted batch plan.
+    mode = os.environ.get("BENCH_MODE", "sorted")
+    if mode == "pool":
+        from explainable_spatial_vqa_tpu.infer.chain import chained_forward_pool
+
+        pool_fn = jax.jit(
+            lambda feats, img_idx, fns, dps, nsteps: chained_forward_pool(
+                executor, exe_vars, feats, img_idx, fns, dps, nsteps,
+                exe_cfg, max_steps=max_steps, slots=batch,
+            )
+        )
+
+        def run_all():
+            programs = gen_all(questions_dev)
+            state = pool_fn(features_dev, image_index_dev, functions_dev,
+                            deps_dev, num_steps_dev)
+            return np.asarray(programs), np.asarray(state.token_cache)
+    elif mode == "sorted":
+        def run_all():
+            programs = gen_all(questions_dev)
+            outs = [batch_fn(sel, depth, *shared) for sel, depth, _real in plan]
+            # materialize the generated programs and every batch's answer
+            # tokens on host (the deliverables; all dispatches above are
+            # async, so transfers overlap execution)
+            return np.asarray(programs), [np.asarray(state.token_cache) for state in outs]
+    else:
+        raise ValueError(f"unknown BENCH_MODE {mode!r}")
 
     run_all()  # warmup + compile
     best = float("inf")

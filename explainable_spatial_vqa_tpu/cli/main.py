@@ -530,7 +530,8 @@ def cmd_tally(args: argparse.Namespace) -> None:
             for a in answers
         ])
     result = pipeline.run(questions, image_tokens, image_idxs,
-                          gt_answers=gt_value_ids, gt_programs=programs)
+                          gt_answers=gt_value_ids, gt_programs=programs,
+                          chain_mode=args.chain_mode)
     if result.tally is not None:
         print(result.tally.report())
         from explainable_spatial_vqa_tpu.evalsuite.accuracy import answer_accuracy_by_type
@@ -556,11 +557,17 @@ def cmd_tally(args: argparse.Namespace) -> None:
 
         annotated = read_annotated_h5(args.annotated_h5)[:limit]
         chains = chain_arrays(annotated, split_vocab["function"], max_steps=28)
-        gathered = image_tokens[chains.image_index]
-        # run_sorted scatters the full per-step caches back, so the box
-        # P/R tally rides the depth-sorted serving fast path (r2 used the
-        # plain depth-28 runner here; r3 sorted replaces r2.5 bucketed)
-        run_out = runner.run_sorted(gathered, chains)
+
+        # both fast paths scatter the full per-step caches back, so the box
+        # P/R tally rides the serving schedule (r2 used the plain depth-28
+        # runner here); the pool takes the per-IMAGE cache, sorted takes
+        # per-question gathered tokens
+        def run_chains(rnr):
+            if args.chain_mode == "pool":
+                return rnr.run_pool(image_tokens, chains)
+            return rnr.run_sorted(image_tokens[chains.image_index], chains)
+
+        run_out = run_chains(runner)
         conf_threshold = exe_cfg.conf_threshold
         if args.calibrate_conf:
             conf_threshold, f1 = calibrate_chain_conf_threshold(
@@ -576,7 +583,7 @@ def cmd_tally(args: argparse.Namespace) -> None:
                     dataclasses.replace(exe_cfg, conf_threshold=conf_threshold),
                     max_steps=28, mesh=serve_mesh,
                 )
-                run_out = calibrated_runner.run_sorted(gathered, chains)
+                run_out = run_chains(calibrated_runner)
         step_tally = tally_predicted_chains(
             run_out, annotated, split_vocab["function"], value_vocab,
             conf_threshold=conf_threshold, iou_threshold=args.iou_threshold,
@@ -945,6 +952,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true",
                    help="shard chained inference over all devices "
                         "(replicated params, batch-sharded loop)")
+    p.add_argument("--chain_mode", default="sorted",
+                   choices=("sorted", "pool", "bucketed", "plain"),
+                   help="chained-execution schedule: depth-sorted batches "
+                        "(default), continuous-batching slot pool "
+                        "(single-chip), per-depth buckets, or one "
+                        "full-depth batch")
     p.set_defaults(fn=cmd_tally)
 
     p = sub.add_parser("infer-chain")

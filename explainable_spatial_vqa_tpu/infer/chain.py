@@ -27,7 +27,8 @@ from explainable_spatial_vqa_tpu.core.config import ExecutorConfig, StepSeq2SeqC
 from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
 
 __all__ = ["ExecutorChainRunner", "Seq2SeqChainRunner", "chained_forward",
-           "compact_valid_first", "run_bucketed_seq2seq"]
+           "chained_forward_pool", "compact_valid_first",
+           "run_bucketed_seq2seq"]
 
 
 def compact_valid_first(tokens: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -51,18 +52,24 @@ class ChainState(NamedTuple):
     routing: jnp.ndarray  # (N, S) int32 — chosen branch per step
 
 
-def gather_dep_boxes(state: ChainState, dep: jnp.ndarray):
-    """Gather a dependency's cached box set: (N, Q, 4) boxes + validity."""
-    rows = jnp.arange(state.box_cache.shape[0])
+def gather_dep_boxes(state: ChainState, dep: jnp.ndarray, rows=None):
+    """Gather a dependency's cached box set: (B, Q, 4) boxes + validity.
+
+    ``rows`` selects which cache row each batch element reads (continuous
+    pool mode, where batch slot b holds question ``rows[b]``); default is
+    the identity (plain mode, one slot per cache row)."""
+    if rows is None:
+        rows = jnp.arange(state.box_cache.shape[0])
     safe = jnp.clip(dep, 0, None)
-    boxes = state.box_cache[rows, safe]  # (N, Q, 4)
+    boxes = state.box_cache[rows, safe]  # (B, Q, 4)
     mask = state.box_mask[rows, safe] & (dep >= 0)[:, None]
     return boxes, mask
 
 
-def gather_dep_token(state: ChainState, dep: jnp.ndarray):
-    """Gather a dependency's cached value token: (N,) token + validity."""
-    rows = jnp.arange(state.token_cache.shape[0])
+def gather_dep_token(state: ChainState, dep: jnp.ndarray, rows=None):
+    """Gather a dependency's cached value token: (B,) token + validity."""
+    if rows is None:
+        rows = jnp.arange(state.token_cache.shape[0])
     safe = jnp.clip(dep, 0, None)
     token = state.token_cache[rows, safe]
     valid = state.token_branch[rows, safe] & (dep >= 0)
@@ -70,14 +77,14 @@ def gather_dep_token(state: ChainState, dep: jnp.ndarray):
 
 
 def gather_step_inputs(state: ChainState, func: jnp.ndarray, dep0: jnp.ndarray,
-                       dep1: jnp.ndarray, max_input_boxes: int):
+                       dep1: jnp.ndarray, max_input_boxes: int, rows=None):
     """Assemble one chain step's executor inputs from the caches.
 
     Box sets of both dependencies are concatenated, compacted valid-first and
     truncated to ``max_input_boxes``; text is [function, dep0 value, dep1
     value] with positional validity masks."""
-    b0, m0 = gather_dep_boxes(state, dep0)
-    b1, m1 = gather_dep_boxes(state, dep1)
+    b0, m0 = gather_dep_boxes(state, dep0, rows)
+    b1, m1 = gather_dep_boxes(state, dep1, rows)
     all_boxes = jnp.concatenate([b0, b1], axis=1)  # (N, 2Q, 4)
     all_mask = jnp.concatenate([m0, m1], axis=1)
     order = jnp.argsort(jnp.logical_not(all_mask), axis=-1, stable=True)
@@ -86,8 +93,8 @@ def gather_step_inputs(state: ChainState, func: jnp.ndarray, dep0: jnp.ndarray,
     input_boxes = all_boxes[:, :max_input_boxes]
     input_mask = all_mask[:, :max_input_boxes]
 
-    t0, v0 = gather_dep_token(state, dep0)
-    t1, v1 = gather_dep_token(state, dep1)
+    t0, v0 = gather_dep_token(state, dep0, rows)
+    t1, v1 = gather_dep_token(state, dep1, rows)
     text = jnp.stack([func, t0, t1], axis=1)
     text_mask = jnp.stack([jnp.ones_like(v0), v0, v1], axis=1)
     return input_boxes, input_mask, text, text_mask
@@ -172,6 +179,137 @@ def chained_forward(
 
     upper = s if active_steps is None else jnp.minimum(active_steps, s)
     return jax.lax.fori_loop(0, upper, body, state)
+
+
+def chained_forward_pool(
+    model,
+    variables,
+    image_features: jnp.ndarray,  # (M, P, C) per-IMAGE raw feature cache
+    image_index: jnp.ndarray,  # (N,) question -> image row
+    functions: jnp.ndarray,  # (N, S)
+    deps: jnp.ndarray,  # (N, S, 2)
+    num_steps: jnp.ndarray,  # (N,)
+    cfg: ExecutorConfig,
+    max_steps: int,
+    slots: int = 128,
+    return_iterations: bool = False,
+):
+    """CONTINUOUS-BATCHING chained execution: one jitted while_loop over a
+    fixed pool of ``slots``, each slot advancing its own question one chain
+    step per iteration; a finished slot immediately admits the next question
+    from a depth-sorted queue (deepest first, so the drain tail is the
+    shallowest work).  This is the LLM-serving continuous-batching idea
+    mapped to chain steps: where the depth-sorted batch plan still runs
+    every row to its batch's max depth and pads tails to pow2 (measured
+    13.7% of executed slot-steps wasted at the bench distribution,
+    docs/DESIGN.md §10.1), the pool retires rows the moment they finish —
+    the only waste left is idle slots while the queue drains.
+
+    Semantics are EXACTLY ``chained_forward``'s: per (row, step) the
+    executor sees identical inputs (deps always come from earlier steps of
+    the same row, already computed in this slot's earlier iterations), and
+    writes land in the same (N, S, ...) caches.  Each question is admitted
+    to exactly one slot exactly once, so scatters never collide; inactive
+    slots scatter to row N via mode="drop".
+
+    The image cache enters per-IMAGE (the HBM feature cache) and is
+    projected ONCE for all M images up front; each iteration gathers the
+    pool's current rows' image tokens on device.
+
+    ``return_iterations=True`` returns ``(state, iterations)`` — the loop
+    trip count, i.e. executed slot-steps / slots; useful steps / (iterations
+    x slots) is the pool's packing efficiency (DESIGN.md §10.2)."""
+    n = functions.shape[0]
+    s = max_steps
+    q = cfg.num_queries
+    b = min(slots, n)
+
+    # project + position every image once (thesis image cache semantics)
+    image_pre = model.apply(
+        variables, image_features, method=model.precompute_image
+    )
+
+    state = ChainState(
+        box_cache=jnp.zeros((n, s, q, 4), jnp.float32),
+        box_mask=jnp.zeros((n, s, q), bool),
+        conf_cache=jnp.zeros((n, s, q), jnp.float32),
+        token_cache=jnp.zeros((n, s), jnp.int32),
+        token_branch=jnp.zeros((n, s), bool),
+        routing=jnp.zeros((n, s), jnp.int32),
+    )
+
+    # deepest-first admission order: the queue's tail (last admissions,
+    # which set the drain time) is the shallowest work
+    order = jnp.argsort(-num_steps, stable=True)
+    slot_rows = order[jnp.clip(jnp.arange(b), 0, n - 1)]
+    slot_step = jnp.zeros((b,), jnp.int32)
+    active = jnp.arange(b) < n
+    queue_ptr = jnp.asarray(b, jnp.int32)
+
+    def cond(carry):
+        _state, _rows, _step, _ptr, act, _t = carry
+        return jnp.any(act)
+
+    def body(carry):
+        state, rows, k, ptr, act, t = carry
+        func = functions[rows, k]  # (B,)
+        input_boxes, input_mask, text, text_mask = gather_step_inputs(
+            state, func, deps[rows, k, 0], deps[rows, k, 1],
+            cfg.max_input_boxes, rows=rows,
+        )
+        img = image_pre[image_index[rows]]  # (B, 1+P, d)
+
+        out = model.apply(
+            variables, img, input_boxes, input_mask, text, text_mask,
+            image_precomputed=True,
+        )
+        is_box = jnp.argmax(out["routing_logits"], axis=-1) == 0  # (B,)
+        pred_token = jnp.argmax(out["token_logits"], axis=-1).astype(jnp.int32)
+        conf_mask = (out["pred_conf"] >= cfg.conf_threshold) & is_box[:, None]
+
+        # masked scatter: inactive slots (and zero-step rows, which the
+        # plain runner never writes either) write to row n, dropped
+        w = jnp.where(act & (k < num_steps[rows]), rows, n)
+        state = ChainState(
+            box_cache=state.box_cache.at[w, k].set(
+                out["pred_boxes"], mode="drop"
+            ),
+            box_mask=state.box_mask.at[w, k].set(conf_mask, mode="drop"),
+            conf_cache=state.conf_cache.at[w, k].set(
+                jnp.where(is_box[:, None], out["pred_conf"], 0.0), mode="drop"
+            ),
+            token_cache=state.token_cache.at[w, k].set(
+                jnp.where(~is_box, pred_token, 0), mode="drop"
+            ),
+            token_branch=state.token_branch.at[w, k].set(~is_box, mode="drop"),
+            routing=state.routing.at[w, k].set(
+                (~is_box).astype(jnp.int32), mode="drop"
+            ),
+        )
+
+        # retire finished rows, admit from the queue
+        k_next = k + 1
+        finished = act & (k_next >= num_steps[rows])
+        cont = act & ~finished
+        fin = finished.astype(jnp.int32)
+        rank = jnp.cumsum(fin) - fin  # exclusive: finished slots before me
+        cand = ptr + rank
+        has_new = finished & (cand < n)
+        new_rows = order[jnp.clip(cand, 0, n - 1)]
+        rows = jnp.where(has_new, new_rows, rows)
+        k = jnp.where(has_new, 0, jnp.where(cont, k_next, k))
+        act = cont | has_new
+        ptr = ptr + jnp.sum(fin)
+        return state, rows, k, ptr, act, t + 1
+
+    state, _, _, _, _, iters = jax.lax.while_loop(
+        cond, body,
+        (state, slot_rows, slot_step, queue_ptr, active,
+         jnp.asarray(0, jnp.int32)),
+    )
+    if return_iterations:
+        return state, iters
+    return state
 
 
 class ExecutorChainRunner:
@@ -323,6 +461,65 @@ class ExecutorChainRunner:
                         "token_branch"):
                 full[key][idx, :depth] = out[key]
         return full
+
+    def run_pool(
+        self,
+        image_features,
+        chains: ChainArrays,
+        slots: int = 128,
+    ) -> Dict[str, np.ndarray]:
+        """Continuous-batching execution (docs/DESIGN.md §10.2): ONE jitted
+        while_loop over a fixed slot pool retires each question the moment
+        its chain ends and admits the next from a deepest-first queue —
+        executed slot-steps shrink to useful steps + the drain tail, vs
+        run_sorted's in-batch depth spread + pow2 tail padding.
+
+        ``image_features`` is the per-IMAGE feature cache (M, P, C) — host
+        or device-resident — indexed by ``chains.image_index`` (NOT the
+        per-question array the other runners take: the pool gathers image
+        tokens per iteration, so duplicating them per question would
+        multiply HBM).  Single-device path; multi-chip serving shards
+        questions across chips first (each chip runs its own pool)."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "run_pool is the single-chip fast path; for multi-chip, "
+                "shard questions per chip and run one pool per shard "
+                "(or use run_sorted, which partitions over the mesh)"
+            )
+        n = chains.functions.shape[0]
+        if not hasattr(self, "_pool_jits"):
+            self._pool_jits: Dict[int, object] = {}
+        fn = self._pool_jits.get(slots)
+        if fn is None:
+            def impl(feats, img_idx, fns, dps, nsteps, _slots=slots):
+                return chained_forward_pool(
+                    self.model, self.variables, feats, img_idx, fns, dps,
+                    nsteps, self.config, self.max_steps, slots=_slots,
+                )
+            fn = jax.jit(impl)
+            self._pool_jits[slots] = fn
+        feats = (
+            image_features if isinstance(image_features, jax.Array)
+            else jnp.asarray(np.asarray(image_features))
+        )
+        state = fn(
+            feats,
+            jnp.asarray(chains.image_index),
+            jnp.asarray(chains.functions),
+            jnp.asarray(chains.deps),
+            jnp.asarray(chains.num_steps),
+        )
+        last = np.asarray(chains.num_steps) - 1
+        rows = np.arange(n)
+        return {
+            "final_tokens": np.asarray(state.token_cache)[rows, last],
+            "final_is_token": np.asarray(state.token_branch)[rows, last],
+            "box_cache": np.asarray(state.box_cache),
+            "box_mask": np.asarray(state.box_mask),
+            "conf_cache": np.asarray(state.conf_cache),
+            "token_cache": np.asarray(state.token_cache),
+            "token_branch": np.asarray(state.token_branch),
+        }
 
     def run_sorted(
         self,

@@ -148,26 +148,36 @@ class InferencePipeline:
         chains = programs_to_chains(
             programs, image_index, self.executor_function_vocab, self.runner.max_steps
         )
-        if isinstance(image_tokens, jax.Array):
-            # features resident in HBM: gather by index on device (no PCIe
-            # round-trip per call — the thesis image-feature cache)
-            gathered = jnp.take(image_tokens, jnp.asarray(chains.image_index), axis=0)
-        else:
-            gathered = np.asarray(image_tokens)[chains.image_index]
         # grouping by PREDICTED chain depth is not oracle knowledge — the
         # depth is known once the program is generated; parity with the
-        # plain runner is exact for both fast paths (tests/test_chain.py).
+        # plain runner is exact for all fast paths (tests/test_chain.py).
         # "sorted" (default) is the serving fast path (docs/DESIGN.md §10):
         # depth-sorted batches, dynamic loop bound, one compile per batch
-        # size; "bucketed" keeps the r2 per-depth-bucket compiles.
-        if chain_mode == "sorted":
-            out = self.runner.run_sorted(gathered, chains)
-        elif chain_mode == "bucketed":
-            out = self.runner.run_bucketed(gathered, chains)
-        elif chain_mode == "plain":
-            out = self.runner.run(gathered, chains)
+        # size; "pool" is the continuous-batching path (§10.2): one jitted
+        # while_loop over a slot pool, finished questions retire mid-loop;
+        # "bucketed" keeps the r2 per-depth-bucket compiles.
+        if chain_mode == "pool":
+            # the pool gathers image tokens per iteration by image_index —
+            # it takes the per-IMAGE cache directly, never the per-question
+            # duplication the other runners consume
+            out = self.runner.run_pool(image_tokens, chains)
         else:
-            raise ValueError(f"unknown chain_mode {chain_mode!r}")
+            if isinstance(image_tokens, jax.Array):
+                # features resident in HBM: gather by index on device (no
+                # PCIe round-trip per call — the thesis image-feature cache)
+                gathered = jnp.take(
+                    image_tokens, jnp.asarray(chains.image_index), axis=0
+                )
+            else:
+                gathered = np.asarray(image_tokens)[chains.image_index]
+            if chain_mode == "sorted":
+                out = self.runner.run_sorted(gathered, chains)
+            elif chain_mode == "bucketed":
+                out = self.runner.run_bucketed(gathered, chains)
+            elif chain_mode == "plain":
+                out = self.runner.run(gathered, chains)
+            else:
+                raise ValueError(f"unknown chain_mode {chain_mode!r}")
         result = PipelineResult(
             program_ids=program_ids,
             answers=out["final_tokens"],

@@ -171,6 +171,66 @@ def test_bucketed_matches_plain():
                                            err_msg=f"{key} batch={b}")
 
 
+def test_pool_matches_plain():
+    """Continuous-batching execution (run_pool) must equal the plain runner
+    exactly: every question is admitted to one slot once, deps read earlier
+    steps of the same row, finished rows retire mid-loop — none of which may
+    change any (row, step) output.  Covers queue cycling (slots < n), a
+    drain tail (slots > remaining), shared images (the per-iteration image
+    gather), and two-dependency steps."""
+    cfg = ExecutorConfig(
+        vocab_size=16, d_model=32, num_heads=4, encoder_layers=1,
+        box_decoder_layers=1, num_queries=3, num_image_tokens=4,
+        image_feature_dim=8, max_input_boxes=4, token_classes=8,
+    )
+    model = ProgramExecutor(cfg)
+    rng = np.random.RandomState(7)
+    m, n, max_steps = 3, 10, 6
+    feats = rng.rand(m, 4, 8).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats[:2]), jnp.zeros((2, 4, 4)),
+        jnp.ones((2, 4), bool), jnp.zeros((2, 3), jnp.int32),
+        jnp.ones((2, 3), bool),
+    )
+    functions = rng.randint(1, 10, (n, max_steps)).astype(np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    num_steps = np.asarray([2, 6, 3, 1, 5, 4, 6, 2, 3, 5], np.int32)
+    for i in range(n):
+        for k in range(1, num_steps[i]):
+            deps[i, k, 0] = k - 1
+            if k >= 2 and (i + k) % 3 == 0:  # union-style two-dep joins
+                deps[i, k, 1] = k - 2
+    image_index = rng.randint(0, m, n).astype(np.int32)
+    chains = ChainArrays(image_index, functions, deps, num_steps, [])
+
+    runner = ExecutorChainRunner(model, variables, cfg, max_steps=max_steps)
+    plain = runner.run(jnp.asarray(feats[image_index]), chains)
+    for slots in (3, 4, 16):
+        pool = runner.run_pool(feats, chains, slots=slots)
+        for key in ("final_tokens", "final_is_token", "box_mask",
+                    "token_cache", "token_branch"):
+            np.testing.assert_array_equal(pool[key], plain[key],
+                                          err_msg=f"{key} slots={slots}")
+        for key in ("box_cache", "conf_cache"):
+            np.testing.assert_allclose(pool[key], plain[key], atol=1e-5,
+                                       err_msg=f"{key} slots={slots}")
+
+    # the point of the pool: executed slot-steps ~ useful steps + drain
+    # tail, strictly under the plain runner's n x max_steps
+    from explainable_spatial_vqa_tpu.infer.chain import chained_forward_pool
+
+    _state, iters = jax.jit(
+        lambda f, ii, fn, dp, ns: chained_forward_pool(
+            model, variables, f, ii, fn, dp, ns, cfg, max_steps,
+            slots=4, return_iterations=True,
+        )
+    )(jnp.asarray(feats), jnp.asarray(image_index),
+      jnp.asarray(functions), jnp.asarray(deps), jnp.asarray(num_steps))
+    useful = int(num_steps.sum())
+    assert int(iters) >= -(-useful // 4)  # can't beat perfect packing
+    assert int(iters) * 4 < n * max_steps  # beats the naive full-depth plan
+
+
 def test_executor_chain_two_box_deps_matches_sequential():
     """A union-style step (TWO box-output dependencies — thesis Table 4.3's
     union/intersect) must equal per-question sequential execution: both
