@@ -478,38 +478,108 @@ class ExecutorChainRunner:
         or device-resident — indexed by ``chains.image_index`` (NOT the
         per-question array the other runners take: the pool gathers image
         tokens per iteration, so duplicating them per question would
-        multiply HBM).  Single-device path; multi-chip serving shards
-        questions across chips first (each chip runs its own pool)."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "run_pool is the single-chip fast path; for multi-chip, "
-                "shard questions per chip and run one pool per shard "
-                "(or use run_sorted, which partitions over the mesh)"
-            )
+        multiply HBM).
+
+        Multi-chip (``mesh`` with a "data" axis): questions are dealt
+        round-robin over the GLOBAL deepest-first order to each chip (near
+        equal total steps per chip), the image cache replicates, and every
+        chip runs its own independent pool under ``shard_map`` — zero
+        collectives, per-chip while_loop trip counts free to differ."""
         n = chains.functions.shape[0]
-        if not hasattr(self, "_pool_jits"):
-            self._pool_jits: Dict[int, object] = {}
-        fn = self._pool_jits.get(slots)
-        if fn is None:
-            def impl(feats, img_idx, fns, dps, nsteps, _slots=slots):
-                return chained_forward_pool(
-                    self.model, self.variables, feats, img_idx, fns, dps,
-                    nsteps, self.config, self.max_steps, slots=_slots,
-                )
-            fn = jax.jit(impl)
-            self._pool_jits[slots] = fn
         feats = (
             image_features if isinstance(image_features, jax.Array)
             else jnp.asarray(np.asarray(image_features))
         )
+        if self.mesh is None:
+            if not hasattr(self, "_pool_jits"):
+                self._pool_jits: Dict[int, object] = {}
+            fn = self._pool_jits.get(slots)
+            if fn is None:
+                def impl(fts, img_idx, fns, dps, nsteps, _slots=slots):
+                    return chained_forward_pool(
+                        self.model, self.variables, fts, img_idx, fns, dps,
+                        nsteps, self.config, self.max_steps, slots=_slots,
+                    )
+                fn = jax.jit(impl)
+                self._pool_jits[slots] = fn
+            state = fn(
+                feats,
+                jnp.asarray(chains.image_index),
+                jnp.asarray(chains.functions),
+                jnp.asarray(chains.deps),
+                jnp.asarray(chains.num_steps),
+            )
+            return self._pool_outputs(state, chains.num_steps, n)
+
+        # ---- sharded pool: one independent queue per chip ----
+        d = self._data_axis
+        num_steps = np.asarray(chains.num_steps)
+        order = np.argsort(-num_steps, kind="stable")
+        per = -(-n // d)  # ceil
+        # deal sorted rows round-robin: chip c gets order[c], order[c+d], …
+        # (balanced total steps); pad every chip to `per` with zero-step
+        # sentinel rows (num_steps=0 never writes — same mask as the plain
+        # runner's mesh padding)
+        perm = np.full(d * per, -1, np.int64)
+        for c in range(d):
+            mine = order[c::d]
+            perm[c * per : c * per + len(mine)] = mine
+        safe = np.clip(perm, 0, None)
+        fns = np.where(perm[:, None] >= 0, chains.functions[safe], 0)
+        dps = np.where(perm[:, None, None] >= 0, chains.deps[safe], -1)
+        nst = np.where(perm >= 0, num_steps[safe], 0).astype(np.int32)
+        img_idx = np.where(perm >= 0, np.asarray(chains.image_index)[safe], 0).astype(np.int32)
+
+        key = (slots, True)
+        if not hasattr(self, "_pool_jits"):
+            self._pool_jits = {}
+        fn = self._pool_jits.get(key)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            def local_impl(variables, fts, img_idx, fns, dps, nsteps,
+                           _slots=slots):
+                return chained_forward_pool(
+                    self.model, variables, fts, img_idx, fns, dps, nsteps,
+                    self.config, self.max_steps, slots=_slots,
+                )
+
+            var_specs = jax.tree_util.tree_map(lambda _: P(), self.variables)
+            fn = jax.jit(jax.shard_map(
+                local_impl, mesh=self.mesh,
+                in_specs=(var_specs, P(), P("data"), P("data"), P("data"),
+                          P("data")),
+                out_specs=ChainState(*(P("data"),) * 6),
+                # per-chip while_loop trip counts differ by design (each
+                # chip drains its own queue) — disable the varying-axis
+                # checker rather than pretend the loops are uniform
+                check_vma=False,
+            ))
+            self._pool_jits[key] = fn
         state = fn(
-            feats,
-            jnp.asarray(chains.image_index),
-            jnp.asarray(chains.functions),
-            jnp.asarray(chains.deps),
-            jnp.asarray(chains.num_steps),
+            self.variables, feats, jnp.asarray(img_idx), jnp.asarray(fns),
+            jnp.asarray(dps), jnp.asarray(nst),
         )
-        last = np.asarray(chains.num_steps) - 1
+        # un-permute on host (sentinel rows drop)
+        full = self._empty_outputs(n)
+        live = perm >= 0
+        src = np.flatnonzero(live)
+        dst = perm[live]
+        for key_, leaf in zip(
+            ("box_cache", "box_mask", "conf_cache", "token_cache",
+             "token_branch"),
+            (state.box_cache, state.box_mask, state.conf_cache,
+             state.token_cache, state.token_branch),
+        ):
+            full[key_][dst] = np.asarray(leaf)[src]
+        last = num_steps - 1
+        rows = np.arange(n)
+        full["final_tokens"] = full["token_cache"][rows, last]
+        full["final_is_token"] = full["token_branch"][rows, last]
+        return full
+
+    def _pool_outputs(self, state: ChainState, num_steps, n: int) -> Dict[str, np.ndarray]:
+        last = np.asarray(num_steps) - 1
         rows = np.arange(n)
         return {
             "final_tokens": np.asarray(state.token_cache)[rows, last],

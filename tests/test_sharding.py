@@ -142,6 +142,51 @@ def test_chain_runner_sharded_matches_single_device():
     )
 
 
+def test_pool_sharded_matches_single_device():
+    """Continuous-batching over the mesh: questions dealt round-robin over
+    the global deepest-first order, one independent slot pool per chip
+    under shard_map (zero collectives, per-chip trip counts differ), with
+    sentinel padding when n doesn't divide the axis — results must equal
+    the plain single-device runner exactly."""
+    from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+    from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+
+    model = ProgramExecutor(CFG)
+    rng = np.random.RandomState(3)
+    m, n, max_steps = 4, 13, 4
+    feats = rng.rand(m, 16, 16).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats[:2]), jnp.zeros((2, 4, 4)),
+        jnp.ones((2, 4), bool), jnp.zeros((2, 3), jnp.int32),
+        jnp.ones((2, 3), bool),
+    )
+    functions = rng.randint(1, 10, (n, max_steps)).astype(np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    num_steps = rng.randint(1, max_steps + 1, n).astype(np.int32)
+    for i in range(n):
+        for k in range(1, num_steps[i]):
+            deps[i, k, 0] = k - 1
+            if k >= 2 and (i + k) % 3 == 0:
+                deps[i, k, 1] = k - 2
+    image_index = rng.randint(0, m, n).astype(np.int32)
+    chains = ChainArrays(image_index, functions, deps, num_steps, [])
+
+    single = ExecutorChainRunner(model, variables, CFG, max_steps=max_steps)
+    plain = single.run(jnp.asarray(feats[image_index]), chains)
+
+    mesh = make_mesh((8,), ("data",))
+    runner_mesh = ExecutorChainRunner(
+        model, variables, CFG, max_steps=max_steps, mesh=mesh
+    )
+    pool = runner_mesh.run_pool(feats, chains, slots=2)
+    for key in ("final_tokens", "final_is_token", "box_mask",
+                "token_cache", "token_branch"):
+        np.testing.assert_array_equal(pool[key], plain[key], err_msg=key)
+    for key in ("box_cache", "conf_cache"):
+        np.testing.assert_allclose(pool[key], plain[key], atol=1e-5,
+                                   err_msg=key)
+
+
 def test_seq2seq_chain_runner_sharded_matches_single_device():
     """The seq2seq chain runner's mesh serving path must match unsharded
     execution, including the non-divisible-batch pad round trip."""
