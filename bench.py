@@ -19,8 +19,10 @@ comparisons joined by a 2-input node), with depths up to 27 steps — the
 shapes of the real question distribution (the checked-in fixtures contain a
 depth-11 two-branch greater_than question of exactly this form,
 /root/reference/code/examples/CLEVR_train_questions_first.json) — executed
-depth-bucketed so short programs do not pay for deep loop tails.  Weights
-are random — throughput does not depend on weight values.  Set BENCH_N /
+depth-SORTED with per-batch dynamic loop bounds (BENCH_MODE=sorted,
+default) or via the continuous-batching slot pool (BENCH_MODE=pool), so
+short programs do not pay for deep loop tails.  Weights are random —
+throughput does not depend on weight values.  Set BENCH_N /
 BENCH_BASELINE_N to scale the run.
 """
 

@@ -955,9 +955,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chain_mode", default="sorted",
                    choices=("sorted", "pool", "bucketed", "plain"),
                    help="chained-execution schedule: depth-sorted batches "
-                        "(default), continuous-batching slot pool "
-                        "(single-chip), per-depth buckets, or one "
-                        "full-depth batch")
+                        "(default), continuous-batching slot pool (one "
+                        "independent pool per chip under --data_parallel), "
+                        "per-depth buckets, or one full-depth batch")
     p.set_defaults(fn=cmd_tally)
 
     p = sub.add_parser("infer-chain")
