@@ -19,9 +19,10 @@ comparisons joined by a 2-input node), with depths up to 27 steps — the
 shapes of the real question distribution (the checked-in fixtures contain a
 depth-11 two-branch greater_than question of exactly this form,
 /root/reference/code/examples/CLEVR_train_questions_first.json) — executed
-depth-SORTED with per-batch dynamic loop bounds (BENCH_MODE=sorted,
-default) or via the continuous-batching slot pool (BENCH_MODE=pool), so
-short programs do not pay for deep loop tails.  Weights are random —
+via the continuous-batching slot pool (BENCH_MODE=pool, default —
+finished questions retire mid-loop, docs/DESIGN.md §10.2) or depth-SORTED
+with per-batch dynamic loop bounds (BENCH_MODE=sorted), so short programs
+do not pay for deep loop tails.  Weights are random —
 throughput does not depend on weight values.  Set BENCH_N /
 BENCH_BASELINE_N to scale the run.
 """
@@ -340,7 +341,7 @@ def run_vectorized(n, batch, device):
     # BENCH_MODE=pool: the continuous-batching path (docs/DESIGN.md §10.2)
     # — ONE jitted while_loop over `batch` slots for the whole set, finished
     # questions retiring mid-loop, vs the default depth-sorted batch plan.
-    mode = os.environ.get("BENCH_MODE", "sorted")
+    mode = os.environ.get("BENCH_MODE", "pool")
     if mode == "pool":
         from explainable_spatial_vqa_tpu.infer.chain import chained_forward_pool
 
@@ -494,9 +495,12 @@ def main():
     with jax.default_device(cpu):
         baseline, baseline_se = run_reference_style(baseline_n, cpu)
 
+    mode = os.environ.get("BENCH_MODE", "pool")
+    mode_label = {"pool": "continuous-batching slot pool",
+                  "sorted": "depth-sorted"}[mode]
     print(json.dumps({
         "metric": "CLEVR val QA pairs/sec/chip end-to-end (generator+executor, "
-                  "CLEVR question-family program shapes, depth-sorted)",
+                  f"CLEVR question-family program shapes, {mode_label})",
         "value": round(value, 2),
         "unit": "qa_pairs/sec/chip",
         "vs_baseline": round(value / baseline, 2),
