@@ -68,6 +68,7 @@ def main():
     seed = int(os.environ.get("DEMO_SEED", "3"))
     lr_schedule = os.environ.get("DEMO_LR_SCHEDULE", "constant")
     d_model = int(os.environ.get("DEMO_DMODEL", "0"))  # 0 = protocol default
+    layers = int(os.environ.get("DEMO_LAYERS", "2"))  # encoder layers
     max_steps = 12
 
     print(f"synthesizing corpus ({num_scenes} scenes x {qps}, "
@@ -100,7 +101,7 @@ def main():
 
         exe_config = ExecutorConfig(
             vocab_size=len(split_vocab["function"]) + 1,
-            d_model=d_model, num_heads=4, encoder_layers=2,
+            d_model=d_model, num_heads=4, encoder_layers=layers,
             box_decoder_layers=1, num_queries=8, num_image_tokens=196,
             image_feature_dim=64, max_input_boxes=8,
             token_classes=len(split_vocab["other"]) + 1, dropout=0.0,
@@ -176,6 +177,7 @@ def main():
         f"{exe_steps} executor steps (grounding noise {noise}/{drop}"
         + (f", lr_schedule={lr_schedule}" if lr_schedule != "constant" else "")
         + (f", d_model={d_model}" if d_model else "")
+        + (f", {layers}L encoder" if layers != 2 else "")
         + f"), {len(eval_q)} eval questions on held-out scenes, platform "
         f"{platform}, {elapsed:.0f}s.",
         "",
