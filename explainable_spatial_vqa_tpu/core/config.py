@@ -127,6 +127,14 @@ class ExecutorConfig:
     scheduled_p_max: float = 0.0
     scheduled_ramp_epochs: int = 5
     remat: bool = False  # rematerialize fusion blocks (memory vs FLOPs)
+    # ROI content for input-box tokens (beyond-reference, off by default —
+    # thesis p.18 encodes boxes from coords + center posemb only): each
+    # dependency-box token additionally receives the coverage-weighted
+    # average of the image tokens under its box, projected to d_model.
+    # Motivation: attribute-at-box readout (query_*/same_*) otherwise has to
+    # LEARN box<->patch binding through positional cross-attention from a
+    # handful of samples, and measurably sits at chance (DEMO.md Table 4.4).
+    box_roi: bool = False
 
 
 @dataclass(frozen=True)

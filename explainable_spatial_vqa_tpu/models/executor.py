@@ -42,9 +42,35 @@ from explainable_spatial_vqa_tpu.models.layers import (
     posemb_2d_sincos_at,
 )
 
-__all__ = ["ProgramExecutor", "ExecutorOutput"]
+__all__ = ["ProgramExecutor", "ExecutorOutput", "roi_coverage_weights"]
 
 ExecutorOutput = Dict[str, jnp.ndarray]
+
+
+def roi_coverage_weights(boxes: jnp.ndarray, grid: int) -> jnp.ndarray:
+    """Normalized box->patch coverage weights for ROI content pooling.
+
+    ``boxes``: (..., 4) xyxy in [0, 1].  Returns (..., grid*grid) weights:
+    the fraction of the box's area overlapping each grid cell (row-major
+    r*grid+c token order, matching both the feature layout (C, H, W) and
+    :func:`posemb_2d_sincos`), normalized to sum to 1 over cells.  A
+    degenerate (zero-area) box — e.g. a padded slot — yields all-zero
+    weights, so its pooled content is exactly zero.
+    """
+    edges = np.arange(grid + 1, dtype=np.float32) / grid
+    lo = jnp.asarray(edges[:-1])  # (g,) cell lower bounds
+    hi = jnp.asarray(edges[1:])  # (g,) cell upper bounds
+    bx = boxes.astype(jnp.float32)
+    ox = jnp.clip(
+        jnp.minimum(bx[..., 2:3], hi) - jnp.maximum(bx[..., 0:1], lo), 0.0
+    )  # (..., g) x-overlap per column
+    oy = jnp.clip(
+        jnp.minimum(bx[..., 3:4], hi) - jnp.maximum(bx[..., 1:2], lo), 0.0
+    )  # (..., g) y-overlap per row
+    cov = oy[..., :, None] * ox[..., None, :]  # (..., g, g) row-major
+    cov = cov.reshape(cov.shape[:-2] + (grid * grid,))
+    total = jnp.sum(cov, axis=-1, keepdims=True)
+    return cov / jnp.maximum(total, 1e-9)
 
 
 class BoxDecoder(nn.Module):
@@ -103,6 +129,8 @@ class ProgramExecutor(nn.Module):
             cfg.encoder_layers, cfg.d_model, cfg.num_heads, cfg.d_model * 4,
             cfg.dropout, dtype=self.dtype, remat=cfg.remat, name="fusion",
         )
+        if cfg.box_roi:
+            self.roi_proj = nn.Dense(cfg.d_model, dtype=self.dtype, name="roi_proj")
         self.routing_head = nn.Dense(2, dtype=jnp.float32, name="routing_head")
         self.token_head = nn.Dense(cfg.token_classes, dtype=jnp.float32, name="token_head")
         self.box_decoder = BoxDecoder(cfg, dtype=self.dtype, name="box_decoder")
@@ -156,6 +184,16 @@ class ProgramExecutor(nn.Module):
         )
         box = self.box_mlp_2(nn.relu(self.box_mlp_1(input_boxes.astype(self.dtype))))
         box = box + posemb_2d_sincos_at(centers, cfg.d_model).astype(self.dtype)
+        if cfg.box_roi:
+            # Inject the image content under each dependency box directly
+            # (coverage-weighted patch average) so attribute-at-box readout
+            # does not have to learn positional binding from scratch.  Runs
+            # on the positioned image tokens, so it is identical in the
+            # precomputed (chained-inference cache) and raw paths.
+            grid = int(round(float(np.sqrt(cfg.num_image_tokens))))
+            weights = roi_coverage_weights(input_boxes, grid).astype(self.dtype)
+            pooled = jnp.einsum("bsp,bpd->bsd", weights, img)
+            box = box + self.roi_proj(pooled)
 
         text = self.text_embed(text_tokens).astype(self.dtype)
         text = text + self.text_pos[None].astype(self.dtype)

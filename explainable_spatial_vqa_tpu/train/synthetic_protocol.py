@@ -138,6 +138,7 @@ def train_executor_synthetic(
     init_variables: Optional[Dict] = None,
     log_every: int = 100,
     lr_schedule: str = "constant",
+    box_roi: bool = False,
 ):
     """Thesis-executor set-loss training over flattened annotation steps.
 
@@ -150,6 +151,7 @@ def train_executor_synthetic(
         dropout=0.0,
         input_box_noise=noise, input_box_drop=drop,
         sinkhorn_tau=sinkhorn_tau, sinkhorn_iters=sinkhorn_iters,
+        box_roi=box_roi,
     )
     arrays = ds.executor_step_arrays(
         annotated, vocabs["function"], vocabs["other"],

@@ -69,6 +69,7 @@ def main():
     lr_schedule = os.environ.get("DEMO_LR_SCHEDULE", "constant")
     d_model = int(os.environ.get("DEMO_DMODEL", "0"))  # 0 = protocol default
     layers = int(os.environ.get("DEMO_LAYERS", "2"))  # encoder layers
+    box_roi = bool(int(os.environ.get("DEMO_BOX_ROI", "0")))  # ROI content
     max_steps = 12
 
     print(f"synthesizing corpus ({num_scenes} scenes x {qps}, "
@@ -105,7 +106,7 @@ def main():
             box_decoder_layers=1, num_queries=8, num_image_tokens=196,
             image_feature_dim=64, max_input_boxes=8,
             token_classes=len(split_vocab["other"]) + 1, dropout=0.0,
-            input_box_noise=noise, input_box_drop=drop,
+            input_box_noise=noise, input_box_drop=drop, box_roi=box_roi,
         )
     print(f"training executor on {len(train_ann)} annotated questions "
           f"({exe_steps} steps, noise={noise}, drop={drop}, "
@@ -113,7 +114,8 @@ def main():
           + (f", d_model={d_model}" if d_model else "") + ")...")
     executor, exe_vars, exe_cfg, exe_loss = train_executor_synthetic(
         train_ann, split_vocab, features, steps=exe_steps, seed=seed,
-        noise=noise, drop=drop, lr_schedule=lr_schedule, config=exe_config)
+        noise=noise, drop=drop, lr_schedule=lr_schedule, config=exe_config,
+        box_roi=box_roi)
     print(f"  final loss {exe_loss:.4f}")
 
     # ---- Table 4.2 + 4.5: full pipeline on held-out scenes ----
@@ -178,6 +180,7 @@ def main():
         + (f", lr_schedule={lr_schedule}" if lr_schedule != "constant" else "")
         + (f", d_model={d_model}" if d_model else "")
         + (f", {layers}L encoder" if layers != 2 else "")
+        + (", box_roi" if box_roi else "")
         + f"), {len(eval_q)} eval questions on held-out scenes, platform "
         f"{platform}, {elapsed:.0f}s.",
         "",

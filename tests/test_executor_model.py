@@ -226,3 +226,56 @@ def test_posemb_at_grid_centers_matches_grid_table():
     at = np.asarray(posemb_2d_sincos_at(xy, d))
     for i, (r, c) in enumerate(cells):
         np.testing.assert_allclose(at[i], grid[r, c], atol=1e-5)
+
+
+def test_roi_coverage_weights():
+    """Coverage weights: exact-cell box -> one-hot on that token; a box
+    spanning two cells equally -> 0.5/0.5; a padded zero box -> all-zero."""
+    from explainable_spatial_vqa_tpu.models.executor import roi_coverage_weights
+
+    g = 4
+    boxes = jnp.asarray([
+        [0.25, 0.50, 0.50, 0.75],   # exactly cell (row 2, col 1)
+        [0.25, 0.00, 0.75, 0.25],   # cells (0,1) and (0,2), half each
+        [0.00, 0.00, 0.00, 0.00],   # degenerate (padded slot)
+    ], jnp.float32)
+    w = np.asarray(roi_coverage_weights(boxes, g))
+    expected0 = np.zeros(g * g); expected0[2 * g + 1] = 1.0
+    np.testing.assert_allclose(w[0], expected0, atol=1e-6)
+    expected1 = np.zeros(g * g); expected1[1] = 0.5; expected1[2] = 0.5
+    np.testing.assert_allclose(w[1], expected1, atol=1e-6)
+    np.testing.assert_allclose(w[2], np.zeros(g * g), atol=0)
+
+
+def test_box_roi_forward_and_paths_agree():
+    """box_roi executor: shapes/grads finite, and the precomputed-image
+    (chained-inference cache) path matches the raw path exactly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, box_roi=True)
+    model = ProgramExecutor(cfg)
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), *batch)
+    assert "roi_proj" in variables["params"]
+    out = model.apply(variables, *batch)
+    assert out["token_logits"].shape == (2, cfg.token_classes)
+
+    img, boxes, box_mask, text, text_mask = batch
+    pre = model.apply(variables, img, method=ProgramExecutor.precompute_image)
+    out_pre = model.apply(
+        variables, pre, boxes, box_mask, text, text_mask,
+        image_precomputed=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["token_logits"]), np.asarray(out_pre["token_logits"]),
+        atol=1e-5,
+    )
+
+    def loss(p):
+        o = model.apply({"params": p}, *batch)
+        return jnp.sum(o["token_logits"] ** 2) + jnp.sum(o["pred_boxes"])
+
+    grads = jax.grad(loss)(variables["params"])
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.abs(np.asarray(grads["roi_proj"]["kernel"])).sum() > 0
