@@ -295,6 +295,18 @@ def _preset_map() -> Dict[str, ExperimentConfig]:
         train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
     )
 
+    # Beyond-reference: ROI content injection for dependency-box tokens
+    # (ExecutorConfig.box_roi) — fixes attribute-at-box readout
+    # (query_*/same_*), which otherwise has to learn box<->patch binding
+    # from a handful of samples (DEMO.md box-ROI diagnostic).
+    presets["executor_roi"] = ExperimentConfig(
+        name="executor_roi",
+        model_family="executor",
+        model=ExecutorConfig(box_roi=True),
+        optim=OptimConfig(learning_rate=1e-4),
+        train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
+    )
+
     presets["executor_scheduled"] = ExperimentConfig(
         name="executor_scheduled",
         model_family="executor_scheduled",

@@ -17,6 +17,7 @@ Env knobs: DIAG_SCENES (400), DIAG_QPS (8), DIAG_STEPS (4000), DIAG_SEED (7),
 DIAG_DMODEL (0 = protocol default d=96), DEMO_PLATFORM (tpu), DEMO_OUT.
 """
 
+import logging
 import os
 import sys
 import time
@@ -41,6 +42,8 @@ from explainable_spatial_vqa_tpu.train import datasets as ds
 from explainable_spatial_vqa_tpu.train.synthetic_protocol import (
     train_executor_synthetic,
 )
+
+logging.basicConfig(level=logging.INFO, format="%(message)s")
 
 BEGIN = "<!-- box-roi-diag:begin -->"
 END = "<!-- box-roi-diag:end -->"
