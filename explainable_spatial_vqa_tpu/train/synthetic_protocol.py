@@ -130,29 +130,50 @@ def train_executor_synthetic(
     batch_size: int = 64,
     learning_rate: float = 1e-3,
     seed: int = 0,
-    noise: float = 0.0,
-    drop: float = 0.0,
-    sinkhorn_tau: float = 1.0,
-    sinkhorn_iters: int = 20,
+    noise: Optional[float] = None,
+    drop: Optional[float] = None,
+    sinkhorn_tau: Optional[float] = None,
+    sinkhorn_iters: Optional[int] = None,
     config: Optional[ExecutorConfig] = None,
     init_variables: Optional[Dict] = None,
     log_every: int = 100,
     lr_schedule: str = "constant",
-    box_roi: bool = False,
+    box_roi: Optional[bool] = None,
 ):
     """Thesis-executor set-loss training over flattened annotation steps.
 
-    Pass ``config`` + ``init_variables`` to fine-tune (CoGenT phase 2)."""
-    cfg = config or ExecutorConfig(
-        vocab_size=len(vocabs["function"]) + 1,
-        d_model=96, num_heads=4, encoder_layers=2, box_decoder_layers=1,
-        num_queries=8, num_image_tokens=196, image_feature_dim=64,
-        max_input_boxes=8, token_classes=len(vocabs["other"]) + 1,
-        dropout=0.0,
-        input_box_noise=noise, input_box_drop=drop,
-        sinkhorn_tau=sinkhorn_tau, sinkhorn_iters=sinkhorn_iters,
-        box_roi=box_roi,
-    )
+    Pass ``config`` + ``init_variables`` to fine-tune (CoGenT phase 2).
+    ``noise``/``drop``/``sinkhorn_*``/``box_roi`` left as ``None`` mean
+    "use the config's value" (or the protocol default when no config is
+    given); an explicit value that CONTRADICTS a provided config raises —
+    silently ignoring the kwarg trained a different model than asked for
+    (ADVICE r3 #1)."""
+    if config is None:
+        cfg = ExecutorConfig(
+            vocab_size=len(vocabs["function"]) + 1,
+            d_model=96, num_heads=4, encoder_layers=2, box_decoder_layers=1,
+            num_queries=8, num_image_tokens=196, image_feature_dim=64,
+            max_input_boxes=8, token_classes=len(vocabs["other"]) + 1,
+            dropout=0.0,
+            input_box_noise=0.0 if noise is None else noise,
+            input_box_drop=0.0 if drop is None else drop,
+            sinkhorn_tau=1.0 if sinkhorn_tau is None else sinkhorn_tau,
+            sinkhorn_iters=20 if sinkhorn_iters is None else sinkhorn_iters,
+            box_roi=bool(box_roi),
+        )
+    else:
+        cfg = config
+        for name, attr, val in (
+            ("noise", "input_box_noise", noise),
+            ("drop", "input_box_drop", drop),
+            ("sinkhorn_tau", "sinkhorn_tau", sinkhorn_tau),
+            ("sinkhorn_iters", "sinkhorn_iters", sinkhorn_iters),
+            ("box_roi", "box_roi", box_roi),
+        ):
+            if val is not None and getattr(cfg, attr) != val:
+                raise ValueError(
+                    f"{name}={val!r} conflicts with config.{attr}="
+                    f"{getattr(cfg, attr)!r}; pass one or make them agree")
     arrays = ds.executor_step_arrays(
         annotated, vocabs["function"], vocabs["other"],
         max_input_boxes=cfg.max_input_boxes, max_output_boxes=cfg.num_queries,

@@ -134,28 +134,30 @@ def main():
         "",
         "### Token accuracy by function",
         "",
-        "| function | base | box_roi |",
-        "|---|---|---|",
+        "| function | base | box_roi | n |",
+        "|---|---|---|---|",
     ]
     for fn in tok_fns:
         a = results["base"].token_accuracy().get(fn, float("nan"))
         b = results["roi"].token_accuracy().get(fn, float("nan"))
-        lines.append(f"| {fn} | {a:.3f} | {b:.3f} |")
+        n = results["base"].token_total.get(fn, 0)
+        lines.append(f"| {fn} | {a:.3f} | {b:.3f} | {n} |")
     lines += [
         "",
         "### Box P/R @ IoU 0.5 (conf 0.5, uncalibrated)",
         "",
-        "| function | base P | base R | roi P | roi R |",
-        "|---|---|---|---|---|",
+        "| function | base P | base R | roi P | roi R | gt boxes |",
+        "|---|---|---|---|---|---|",
     ]
     for fn in box_fns:
         a = results["base"].precision_recall().get(
             fn, {"precision": float("nan"), "recall": float("nan")})
         b = results["roi"].precision_recall().get(
             fn, {"precision": float("nan"), "recall": float("nan")})
+        n = results["base"].box_gt.get(fn, 0)
         lines.append(
             f"| {fn} | {a['precision']:.3f} | {a['recall']:.3f} "
-            f"| {b['precision']:.3f} | {b['recall']:.3f} |")
+            f"| {b['precision']:.3f} | {b['recall']:.3f} | {n} |")
     lines.append(END)
     section = "\n".join(lines)
 

@@ -19,6 +19,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the slow e2e/sharding tests spend most of
+# their wall-time in XLA:CPU compiles of the same graphs every run; caching
+# them across sessions cuts the slow set dramatically (VERDICT r3 #7).
+# Repo-local so it survives between rounds; gitignored (binary artifacts).
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_compilation_cache",
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import json
 import pathlib
 
