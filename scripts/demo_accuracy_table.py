@@ -60,7 +60,10 @@ def main():
     t0 = time.time()
     num_scenes = int(os.environ.get("DEMO_SCENES", "800"))
     qps = int(os.environ.get("DEMO_QPS", "6"))
-    hop_prob = float(os.environ.get("DEMO_HOP_PROB", "0.3"))
+    # hop 1.0 / chain 0.8 put relate+same_* at ~15% of steps (scene-aware
+    # sampling, VERDICT r3 #2); the legacy r3 corpus was hop 0.3 / chain 0
+    hop_prob = float(os.environ.get("DEMO_HOP_PROB", "1.0"))
+    chain_prob = float(os.environ.get("DEMO_CHAIN_PROB", "0.8"))
     gen_steps = int(os.environ.get("DEMO_GEN_STEPS", "1000"))
     exe_steps = int(os.environ.get("DEMO_EXE_STEPS", "12000"))
     noise = float(os.environ.get("DEMO_NOISE", "0.03"))
@@ -70,12 +73,13 @@ def main():
     d_model = int(os.environ.get("DEMO_DMODEL", "0"))  # 0 = protocol default
     layers = int(os.environ.get("DEMO_LAYERS", "2"))  # encoder layers
     box_roi = bool(int(os.environ.get("DEMO_BOX_ROI", "0")))  # ROI content
-    max_steps = 12
+    max_steps = 16  # chained hops reach 16 nodes (max_nodes below)
 
     print(f"synthesizing corpus ({num_scenes} scenes x {qps}, "
-          f"hop_prob={hop_prob})...")
+          f"hop_prob={hop_prob}, chain_prob={chain_prob})...")
     scenes_raw, questions = syn.synthesize_dataset(
-        num_scenes, qps, seed=seed, hop_prob=hop_prob)
+        num_scenes, qps, seed=seed, hop_prob=hop_prob,
+        chain_prob=chain_prob, max_nodes=max_steps)
     scenes = {s["image_index"]: Scene.from_raw(s) for s in scenes_raw}
     clevr_vocab = voc.build_clevr_vocab([questions])
     annotated = ann.annotate_questions(questions, scenes)
@@ -175,7 +179,8 @@ def main():
         "## Accuracy tables (thesis Tables 4.2-4.5 formats, synthetic data)",
         "",
         f"`scripts/demo_accuracy_table.py` — {num_scenes} scenes × {qps} "
-        f"questions (hop_prob={hop_prob}: relate/same_* joins), "
+        f"questions (hop_prob={hop_prob}, chain_prob={chain_prob}: "
+        "scene-aware relate/same_* joins), "
         f"{exe_steps} executor steps (grounding noise {noise}/{drop}"
         + (f", lr_schedule={lr_schedule}" if lr_schedule != "constant" else "")
         + (f", d_model={d_model}" if d_model else "")
