@@ -129,12 +129,13 @@ _RELATE_WORDS = {
 
 def _filters(
     rng: np.random.RandomState, program: List[Dict[str, Any]], root: int,
-    lo: int = 1, hi: int = 2,
+    lo: int = 1, hi: int = 2, exclude_attr: Optional[str] = None,
 ) -> "Tuple[int, List[str]]":
     parts: List[str] = []
     prev = root
+    attrs = [a for a in ATTRIBUTE_VALUES if a != exclude_attr]
     for _ in range(rng.randint(lo, hi + 1)):
-        attr = list(ATTRIBUTE_VALUES)[rng.randint(4)]
+        attr = attrs[rng.randint(len(attrs))]
         value = ATTRIBUTE_VALUES[attr][rng.randint(len(ATTRIBUTE_VALUES[attr]))]
         program.append(_node(f"filter_{attr}", [prev], [value]))
         prev = len(program) - 1
@@ -301,7 +302,7 @@ def _filter_branch(
             prev, parts = res
             return prev, (" ".join(parts) + " things").strip()
         del program[start:]
-    prev, parts = _filters(rng, program, 0)
+    prev, parts = _filters(rng, program, 0, exclude_attr=exclude_attr)
     return prev, " ".join(parts) + " things"
 
 

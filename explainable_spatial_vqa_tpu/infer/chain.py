@@ -28,7 +28,26 @@ from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
 
 __all__ = ["ExecutorChainRunner", "Seq2SeqChainRunner", "chained_forward",
            "chained_forward_pool", "compact_valid_first",
-           "run_bucketed_seq2seq"]
+           "run_bucketed_seq2seq", "deal_deepest_first"]
+
+
+def deal_deepest_first(num_steps: np.ndarray, num_chips: int) -> np.ndarray:
+    """Deal question rows to chips for the sharded pool: sort by descending
+    chain length, give chip ``c`` rows ``order[c::num_chips]`` (round-robin
+    over the global deepest-first order — near-equal per-chip step totals
+    even on skewed depth mixes), and pad every chip to the common length
+    with ``-1`` sentinels.  Returns ``perm`` of shape (num_chips * per,):
+    ``perm[c*per + j]`` is the original row index of chip ``c``'s j-th slot
+    (or -1 for padding).  Load balance is pinned in tests/test_sharding.py."""
+    num_steps = np.asarray(num_steps)
+    n = num_steps.shape[0]
+    order = np.argsort(-num_steps, kind="stable")
+    per = -(-n // num_chips)  # ceil
+    perm = np.full(num_chips * per, -1, np.int64)
+    for c in range(num_chips):
+        mine = order[c::num_chips]
+        perm[c * per : c * per + len(mine)] = mine
+    return perm
 
 
 def compact_valid_first(tokens: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -514,16 +533,10 @@ class ExecutorChainRunner:
         # ---- sharded pool: one independent queue per chip ----
         d = self._data_axis
         num_steps = np.asarray(chains.num_steps)
-        order = np.argsort(-num_steps, kind="stable")
-        per = -(-n // d)  # ceil
-        # deal sorted rows round-robin: chip c gets order[c], order[c+d], …
-        # (balanced total steps); pad every chip to `per` with zero-step
-        # sentinel rows (num_steps=0 never writes — same mask as the plain
-        # runner's mesh padding)
-        perm = np.full(d * per, -1, np.int64)
-        for c in range(d):
-            mine = order[c::d]
-            perm[c * per : c * per + len(mine)] = mine
+        # deal sorted rows round-robin (balanced total steps); sentinel
+        # padding rows have num_steps=0 and never write — same mask as the
+        # plain runner's mesh padding
+        perm = deal_deepest_first(num_steps, d)
         safe = np.clip(perm, 0, None)
         fns = np.where(perm[:, None] >= 0, chains.functions[safe], 0)
         dps = np.where(perm[:, None, None] >= 0, chains.deps[safe], -1)

@@ -231,6 +231,55 @@ def test_pool_matches_plain():
     assert int(iters) * 4 < n * max_steps  # beats the naive full-depth plan
 
 
+def test_serving_paths_match_plain_box_roi():
+    """run_sorted and run_pool must stay exact with ``box_roi=True``: the
+    ROI injection pools the positioned image tokens under each dependency
+    box (models/executor.py encode), and the serving paths re-gather image
+    tokens per batch/iteration — this interaction was unpinned (VERDICT r3
+    #3/#4).  Same parity contract as the plain-vs-sorted/pool tests."""
+    cfg = ExecutorConfig(
+        vocab_size=16, d_model=32, num_heads=4, encoder_layers=1,
+        box_decoder_layers=1, num_queries=3, num_image_tokens=4,
+        image_feature_dim=8, max_input_boxes=4, token_classes=8,
+        box_roi=True,
+    )
+    model = ProgramExecutor(cfg)
+    rng = np.random.RandomState(11)
+    m, n, max_steps = 3, 10, 6
+    feats = rng.rand(m, 4, 8).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats[:2]), jnp.zeros((2, 4, 4)),
+        jnp.ones((2, 4), bool), jnp.zeros((2, 3), jnp.int32),
+        jnp.ones((2, 3), bool),
+    )
+    functions = rng.randint(1, 10, (n, max_steps)).astype(np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    num_steps = np.asarray([2, 6, 3, 1, 5, 4, 6, 2, 3, 5], np.int32)
+    for i in range(n):
+        for k in range(1, num_steps[i]):
+            deps[i, k, 0] = k - 1
+            if k >= 2 and (i + k) % 3 == 0:
+                deps[i, k, 1] = k - 2
+    image_index = rng.randint(0, m, n).astype(np.int32)
+    chains = ChainArrays(image_index, functions, deps, num_steps, [])
+
+    runner = ExecutorChainRunner(model, variables, cfg, max_steps=max_steps)
+    plain = runner.run(jnp.asarray(feats[image_index]), chains)
+    # the ROI path must actually fire: dependency boxes upstream are real
+    assert plain["box_mask"].any()
+    sorted_out = runner.run_sorted(feats[image_index], chains, batch=4,
+                                   min_tail=2)
+    pool = runner.run_pool(feats, chains, slots=4)
+    for name, out in (("sorted", sorted_out), ("pool", pool)):
+        for key in ("final_tokens", "final_is_token", "box_mask",
+                    "token_cache", "token_branch"):
+            np.testing.assert_array_equal(out[key], plain[key],
+                                          err_msg=f"{key} ({name})")
+        for key in ("box_cache", "conf_cache"):
+            np.testing.assert_allclose(out[key], plain[key], atol=1e-5,
+                                       err_msg=f"{key} ({name})")
+
+
 def test_executor_chain_two_box_deps_matches_sequential():
     """A union-style step (TWO box-output dependencies — thesis Table 4.3's
     union/intersect) must equal per-question sequential execution: both

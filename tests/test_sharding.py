@@ -187,6 +187,86 @@ def test_pool_sharded_matches_single_device():
                                    err_msg=key)
 
 
+def test_pool_sharded_box_roi_matches_single_device():
+    """Sharded pool serving with ``box_roi=True``: the per-iteration image
+    gather x ROI coverage pooling must survive the shard_map per-chip pools
+    bit-for-bit vs the single-device plain runner (VERDICT r3 #4)."""
+    import dataclasses
+
+    from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+    from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+
+    cfg = dataclasses.replace(CFG, box_roi=True)
+    model = ProgramExecutor(cfg)
+    rng = np.random.RandomState(5)
+    m, n, max_steps = 4, 13, 4
+    feats = rng.rand(m, 16, 16).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats[:2]), jnp.zeros((2, 4, 4)),
+        jnp.ones((2, 4), bool), jnp.zeros((2, 3), jnp.int32),
+        jnp.ones((2, 3), bool),
+    )
+    functions = rng.randint(1, 10, (n, max_steps)).astype(np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    num_steps = rng.randint(1, max_steps + 1, n).astype(np.int32)
+    for i in range(n):
+        for k in range(1, num_steps[i]):
+            deps[i, k, 0] = k - 1
+    image_index = rng.randint(0, m, n).astype(np.int32)
+    chains = ChainArrays(image_index, functions, deps, num_steps, [])
+
+    single = ExecutorChainRunner(model, variables, cfg, max_steps=max_steps)
+    plain = single.run(jnp.asarray(feats[image_index]), chains)
+    assert plain["box_mask"].any()  # dependency boxes exist -> ROI fires
+
+    mesh = make_mesh((8,), ("data",))
+    runner_mesh = ExecutorChainRunner(
+        model, variables, cfg, max_steps=max_steps, mesh=mesh
+    )
+    pool = runner_mesh.run_pool(feats, chains, slots=2)
+    for key in ("final_tokens", "final_is_token", "box_mask",
+                "token_cache", "token_branch"):
+        np.testing.assert_array_equal(pool[key], plain[key], err_msg=key)
+    for key in ("box_cache", "conf_cache"):
+        np.testing.assert_allclose(pool[key], plain[key], atol=1e-5,
+                                   err_msg=key)
+
+
+def test_pool_deal_balances_skewed_depths():
+    """The deepest-first round-robin deal (infer.chain.deal_deepest_first —
+    the exact function run_pool shards with) must keep per-chip USEFUL-step
+    totals near-equal on a heavily skewed depth mix (VERDICT r3 #8): chips
+    run independent pools with zero collectives, so wall-clock is the max
+    per-chip total and imbalance is pure waste."""
+    from explainable_spatial_vqa_tpu.infer.chain import deal_deepest_first
+
+    rng = np.random.RandomState(0)
+    # skewed mix: many shallow chains, a heavy tail of deep ones
+    num_steps = np.concatenate([
+        rng.randint(1, 3, 300),           # shallow mass
+        rng.randint(3, 8, 80),            # medium
+        rng.randint(12, 17, 40),          # deep tail
+        np.full(5, 16),                   # a few maximal chains
+    ]).astype(np.int32)
+    rng.shuffle(num_steps)
+    for d in (4, 8):
+        perm = deal_deepest_first(num_steps, d)
+        per = perm.shape[0] // d
+        totals = []
+        for c in range(d):
+            mine = perm[c * per:(c + 1) * per]
+            totals.append(int(num_steps[mine[mine >= 0]].sum()))
+        totals = np.asarray(totals)
+        # every row index dealt exactly once
+        dealt = np.sort(perm[perm >= 0])
+        np.testing.assert_array_equal(dealt, np.arange(len(num_steps)))
+        # near-equal totals: spread bounded by one maximal chain's depth
+        assert totals.max() - totals.min() <= int(num_steps.max()), (
+            f"d={d}: per-chip useful-step totals {totals.tolist()} spread "
+            f"{totals.max() - totals.min()} > max depth {num_steps.max()}"
+        )
+
+
 def test_seq2seq_chain_runner_sharded_matches_single_device():
     """The seq2seq chain runner's mesh serving path must match unsharded
     execution, including the non-divisible-batch pad round trip."""

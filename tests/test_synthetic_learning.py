@@ -40,6 +40,37 @@ def test_synthetic_dataset_wellformed():
     assert (feat[16] > 0).sum() >= len(scenes[0]["objects"])
 
 
+def test_relational_corpus_mass_and_no_answer_leak():
+    """The scene-aware relational sampler (VERDICT r3 #2): at full hop/chain
+    rates relate+same_* must carry real step mass (blind sampling left them
+    at 1.5%), every program must still execute to a valid answer (implicit —
+    synthesize_dataset only emits survivors), chains must stay within
+    max_nodes, and a queried/compared attribute must never appear as a
+    filter or same_* hop in its own question (answer leakage)."""
+    scenes, questions = syn.synthesize_dataset(
+        60, 6, seed=1, hop_prob=1.0, chain_prob=0.8, max_nodes=16)
+    assert len(questions) == 360
+    total = rel = 0
+    for q in questions:
+        fns = [n["function"] for n in q["program"]]
+        assert len(fns) <= 16
+        total += len(fns)
+        rel += sum(1 for f in fns
+                   if f == "relate" or f.startswith("same_"))
+        final = fns[-1]
+        if final.startswith(("query_", "equal_")) and final != "equal_integer":
+            attr = final.split("_", 1)[1]
+            assert f"filter_{attr}" not in fns, (final, fns)
+            assert f"same_{attr}" not in fns, (final, fns)
+    assert rel / total >= 0.12, f"relate+same_* step share {rel/total:.3f}"
+    # every same_<attr> row gets mass (thesis Table 4.3's hardest rows)
+    for attr in ("color", "shape", "size", "material"):
+        n_attr = sum(1 for q in questions
+                     for node in q["program"]
+                     if node["function"] == f"same_{attr}")
+        assert n_attr >= 5, f"same_{attr} appears only {n_attr}x in 360 q"
+
+
 def test_synthetic_setop_questions():
     """The corpus generates union/intersect DAGs (thesis Table 4.3's two
     set-typed 2-input functions) that execute, annotate, and parse."""
@@ -173,6 +204,57 @@ def test_executor_learns_grounded_steps():
 
 
 @pytest.mark.slow
+def test_box_roi_trains_and_serves_end_to_end():
+    """box_roi through the FULL loop (VERDICT r3 #3/#4): train the protocol
+    executor with ROI injection on a relational (hop) corpus, then run
+    chained inference through BOTH serving fast paths — run_sorted and
+    run_pool — and check they agree with the plain runner on the trained
+    weights while producing sane outputs."""
+    from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+    from explainable_spatial_vqa_tpu.train.datasets import (
+        executor_chain_step_arrays,
+    )
+    from explainable_spatial_vqa_tpu.train.datasets import ChainArrays
+    from explainable_spatial_vqa_tpu.train.synthetic_protocol import (
+        train_executor_synthetic,
+    )
+
+    scenes_raw, questions = syn.synthesize_dataset(
+        24, 4, seed=2, hop_prob=1.0, chain_prob=0.5, max_nodes=14)
+    scenes = {s["image_index"]: Scene.from_raw(s) for s in scenes_raw}
+    annotated = ann.annotate_questions(questions, scenes)
+    vocabs = voc.build_split_vocab(annotated)
+    features = np.stack([
+        syn.scene_feature_map(s).reshape(64, -1).T for s in scenes_raw
+    ]).astype(np.float32)
+
+    model, variables, cfg, final_loss = train_executor_synthetic(
+        annotated, vocabs, features, steps=120, seed=0, box_roi=True,
+        noise=0.03, drop=0.1)
+    assert cfg.box_roi and "roi_proj" in variables["params"]
+    assert np.isfinite(final_loss)
+
+    arrays = executor_chain_step_arrays(
+        annotated, vocabs["function"], vocabs["other"],
+        max_steps=14, max_output_boxes=cfg.num_queries)
+    chains = ChainArrays(
+        image_index=arrays["image_index"], functions=arrays["functions"],
+        deps=arrays["deps"], num_steps=arrays["num_steps"], answers=[])
+    runner = ExecutorChainRunner(model, variables, cfg, max_steps=14)
+    plain = runner.run(jnp.asarray(features[chains.image_index]), chains)
+    sorted_out = runner.run_sorted(features[chains.image_index], chains,
+                                   batch=32, min_tail=8)
+    pool = runner.run_pool(features, chains, slots=16)
+    for name, out in (("sorted", sorted_out), ("pool", pool)):
+        np.testing.assert_array_equal(
+            out["final_tokens"], plain["final_tokens"], err_msg=name)
+        np.testing.assert_allclose(
+            out["box_cache"], plain["box_cache"], atol=1e-5, err_msg=name)
+    # trained chains must produce boxes somewhere (the ROI path is active)
+    assert plain["box_mask"].any()
+
+
+@pytest.mark.slow
 def test_generator_learns_templated_questions():
     """Question -> program on templated synthetic text: exact match must be
     high (the mapping is deterministic)."""
@@ -213,7 +295,9 @@ def test_generator_learns_templated_questions():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    for it in range(250):
+    # 500 steps: the scene-aware corpus (mean program length ~8 vs the old
+    # blind sampler's ~5) crosses EM 1.0 between step 250 and 500
+    for it in range(500):
         idx = rng.choice(n, 64, replace=False)
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(q[idx]), jnp.asarray(p[idx]))
