@@ -791,6 +791,13 @@ def cmd_cogent_protocol(args: argparse.Namespace) -> None:
         drop=args.drop,
         seed=args.seed,
         entangled=not args.disentangled_features,
+        d_model=args.d_model,
+        encoder_layers=args.encoder_layers,
+        box_roi=args.box_roi,
+        lr_schedule=args.lr_schedule,
+        hop_prob=args.hop_prob,
+        chain_prob=args.chain_prob,
+        max_chain_steps=args.max_chain_steps,
     )
     report = result["report"]
     print(report.report())
@@ -1013,6 +1020,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise", type=float, default=0.0)
     p.add_argument("--drop", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--d_model", type=int, default=0,
+                   help="executor width (0 = protocol default 96); the "
+                        "flagship accuracy recipe uses 192")
+    p.add_argument("--encoder_layers", type=int, default=2)
+    p.add_argument("--box_roi", action="store_true",
+                   help="ROI content injection under input boxes "
+                        "(docs/DESIGN.md §11)")
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine"])
+    p.add_argument("--hop_prob", type=float, default=0.0,
+                   help="scene-aware relational hop rate in the corpora")
+    p.add_argument("--chain_prob", type=float, default=0.0,
+                   help="second-hop chaining rate given a hop")
+    p.add_argument("--max_chain_steps", type=int, default=12)
     p.add_argument("--output_json", default=None)
     p.add_argument("--disentangled_features", action="store_true",
                    help="use plain one-hot color channels (no per-shape "

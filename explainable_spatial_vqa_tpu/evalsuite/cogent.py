@@ -99,6 +99,12 @@ def run_cogent_protocol(
     seed: int = 0,
     max_chain_steps: int = 12,  # covers the 10-node two-branch compare programs
     entangled: bool = True,
+    d_model: int = 0,  # 0 = protocol default (96)
+    encoder_layers: int = 2,
+    box_roi: bool = False,
+    lr_schedule: str = "constant",
+    hop_prob: float = 0.0,
+    chain_prob: float = 0.0,
 ) -> Dict:
     """Execute the full four-cell CoGenT protocol end-to-end (thesis §4.2.2 /
     Table 4.6): train generator+executor on condition A, evaluate on valA and
@@ -117,6 +123,12 @@ def run_cogent_protocol(
     one-hot color channels are trivially disentangled and valB ≈ valA, which
     cannot exhibit the Table 4.6 transfer gap (VERDICT r2 finding #2).
 
+    ``d_model``/``encoder_layers``/``box_roi``/``lr_schedule`` scale the
+    executor to the flagship accuracy recipe (VERDICT r3 #5: better color
+    readout sharpens the A->B gap toward the thesis's 15.3 points);
+    ``hop_prob``/``chain_prob`` extend the corpora through the scene-aware
+    relational joins.
+
     Returns {"report": CoGenTReport, "by_type": {cell: acc-dict},
     "tallies": {cell: FaithfulnessTally}, "sizes": {...}}.
     """
@@ -134,17 +146,19 @@ def run_cogent_protocol(
     base_val_a = num_scenes_a
     base_val_b = base_val_a + num_scenes_val
     base_ft_b = base_val_b + num_scenes_val
+    corpus_kw = dict(hop_prob=hop_prob, chain_prob=chain_prob,
+                     max_nodes=max_chain_steps)
     train_a_scenes, train_a_q = syn.synthesize_cogent_dataset(
-        num_scenes_a, questions_per_scene, "A", seed=seed)
+        num_scenes_a, questions_per_scene, "A", seed=seed, **corpus_kw)
     val_a_scenes, val_a_q = syn.synthesize_cogent_dataset(
         num_scenes_val, questions_per_scene, "A", seed=seed + 1,
-        image_index_base=base_val_a)
+        image_index_base=base_val_a, **corpus_kw)
     val_b_scenes, val_b_q = syn.synthesize_cogent_dataset(
         num_scenes_val, questions_per_scene, "B", seed=seed + 2,
-        image_index_base=base_val_b)
+        image_index_base=base_val_b, **corpus_kw)
     ft_b_scenes, ft_b_q = syn.synthesize_cogent_dataset(
         num_scenes_b_pool, questions_per_scene, "B", seed=seed + 3,
-        image_index_base=base_ft_b)
+        image_index_base=base_ft_b, **corpus_kw)
 
     all_scenes = train_a_scenes + val_a_scenes + val_b_scenes + ft_b_scenes
     features = np.stack([
@@ -164,12 +178,27 @@ def run_cogent_protocol(
     ft_b_ann = annotate(ft_b_q, ft_b_scenes)
     split_vocab = voc.build_split_vocab(train_a_ann + ft_b_ann)
 
+    exe_config = None
+    if d_model or box_roi or encoder_layers != 2:
+        from explainable_spatial_vqa_tpu.core.config import ExecutorConfig
+
+        exe_config = ExecutorConfig(
+            vocab_size=len(split_vocab["function"]) + 1,
+            d_model=d_model or 96, num_heads=4,
+            encoder_layers=encoder_layers, box_decoder_layers=1,
+            num_queries=8, num_image_tokens=196, image_feature_dim=64,
+            max_input_boxes=8, token_classes=len(split_vocab["other"]) + 1,
+            dropout=0.0, input_box_noise=noise, input_box_drop=drop,
+            box_roi=box_roi,
+        )
+
     # --- phase 1: train on A ---
     generator, gen_vars, gen_cfg, _ = train_generator_synthetic(
-        train_a_q, clevr_vocab, steps=gen_steps, seed=seed)
+        train_a_q, clevr_vocab, steps=gen_steps, seed=seed,
+        lr_schedule=lr_schedule)
     executor, exe_vars, exe_cfg, _ = train_executor_synthetic(
         train_a_ann, split_vocab, features, steps=exe_steps, seed=seed,
-        noise=noise, drop=drop)
+        noise=noise, drop=drop, config=exe_config, lr_schedule=lr_schedule)
 
     def evaluate(questions):
         return evaluate_pipeline_synthetic(
@@ -189,10 +218,11 @@ def run_cogent_protocol(
 
     generator, gen_vars, gen_cfg, _ = train_generator_synthetic(
         ft_q, clevr_vocab, steps=ft_steps, seed=seed + 10,
-        config=gen_cfg, init_variables=gen_vars)
+        config=gen_cfg, init_variables=gen_vars, lr_schedule=lr_schedule)
     executor, exe_vars, exe_cfg, _ = train_executor_synthetic(
         ft_ann, split_vocab, features, steps=ft_steps, seed=seed + 10,
-        noise=noise, drop=drop, config=exe_cfg, init_variables=exe_vars)
+        noise=noise, drop=drop, config=exe_cfg, init_variables=exe_vars,
+        lr_schedule=lr_schedule)
 
     tally_a1, acc_a1 = evaluate(val_a_q)
     tally_b1, acc_b1 = evaluate(val_b_q)

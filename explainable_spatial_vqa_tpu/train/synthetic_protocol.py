@@ -40,6 +40,7 @@ from explainable_spatial_vqa_tpu.train.losses import (
 logger = logging.getLogger(__name__)
 
 __all__ = [
+    "default_executor_lr",
     "train_generator_synthetic",
     "train_executor_synthetic",
     "train_executor_scheduled_synthetic",
@@ -47,24 +48,51 @@ __all__ = [
 ]
 
 
-def _make_optimizer(learning_rate: float, lr_schedule: str, steps: int):
-    """Adam with an optional cosine schedule.
+def _make_optimizer(learning_rate: float, lr_schedule: str, steps: int,
+                    grad_clip: float = 1.0):
+    """Adam with global-norm gradient clipping and an optional cosine
+    schedule.
 
-    ``"constant"`` reproduces the original protocol exactly; ``"cosine"``
-    adds 5% linear warmup then cosine decay to 5% of peak — the standard
-    fixed-budget recipe (the reference trains with constant-lr Adam and
-    val-patience instead; these synthetic protocols run a fixed step count,
-    where a terminal decay is the appropriate equivalent)."""
+    Clipping at 1.0 matches the reference's transformer trainers
+    (train_transformer_iqap.py:320, train_transformer_iqap_bb.py:410) and
+    guards the Hungarian set loss's rare matching-flip gradient spikes.
+    Note clipping alone does NOT rescue wide executors from too-high lr:
+    the r4 ablations showed d_model=192/3L post-LN training stalls at
+    loss ~7-9 under lr 1e-3 with or without clipping, on either corpus,
+    roi on or off, while lr 3e-4 descends cleanly — hence the width-scaled
+    default lr in the executor protocols below.  ``"constant"`` otherwise
+    reproduces the original protocol;
+    ``"cosine"`` adds 5% linear warmup then cosine decay to 5% of peak —
+    the standard fixed-budget recipe (the reference trains with
+    constant-lr Adam and val-patience instead; these synthetic protocols
+    run a fixed step count, where a terminal decay is the appropriate
+    equivalent)."""
     if lr_schedule == "constant":
-        return optax.adam(learning_rate)
-    if lr_schedule == "cosine":
+        sched = learning_rate
+    elif lr_schedule == "cosine":
         sched = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=learning_rate,
             warmup_steps=max(1, steps // 20), decay_steps=steps,
             end_value=learning_rate * 0.05,
         )
-        return optax.adam(sched)
-    raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+    else:
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+    if grad_clip:
+        return optax.chain(optax.clip_by_global_norm(grad_clip),
+                           optax.adam(sched))
+    return optax.adam(sched)
+
+
+def default_executor_lr(d_model: int) -> float:
+    """Width-scaled Adam peak lr for the post-LN executor.
+
+    Measured (r4 lr ablation, 2k steps on the scene-aware corpus):
+    d_model=96 trains cleanly at 1e-3 (the r1-r3 protocol value), but
+    d_model=192/3L stalls at loss ~7-9 under 1e-3 (clipped or not),
+    wobbles at 5e-4, and descends cleanly at 3e-4.  ``1e-3 * (96/d)^1.5``
+    reproduces both endpoints (96 -> 1e-3, 192 -> 3.5e-4) and is the
+    default whenever the caller does not pass an explicit lr."""
+    return min(1e-3, 1e-3 * (96.0 / float(d_model)) ** 1.5)
 
 
 def train_generator_synthetic(
@@ -128,7 +156,7 @@ def train_executor_synthetic(
     features: np.ndarray,
     steps: int = 500,
     batch_size: int = 64,
-    learning_rate: float = 1e-3,
+    learning_rate: Optional[float] = None,
     seed: int = 0,
     noise: Optional[float] = None,
     drop: Optional[float] = None,
@@ -179,6 +207,8 @@ def train_executor_synthetic(
         max_input_boxes=cfg.max_input_boxes, max_output_boxes=cfg.num_queries,
     )
     images = features[arrays["image_index"]]
+    if learning_rate is None:
+        learning_rate = default_executor_lr(cfg.d_model)
     model = ProgramExecutor(cfg)
     if init_variables is None:
         variables = model.init(
@@ -241,7 +271,7 @@ def train_executor_scheduled_synthetic(
     features: np.ndarray,
     steps: int = 500,
     batch_size: int = 64,
-    learning_rate: float = 1e-3,
+    learning_rate: Optional[float] = None,
     seed: int = 0,
     p_max: float = 0.5,
     ramp_fraction: float = 0.5,
@@ -249,6 +279,7 @@ def train_executor_scheduled_synthetic(
     config: Optional[ExecutorConfig] = None,
     init_variables: Optional[Dict] = None,
     log_every: int = 100,
+    lr_schedule: str = "constant",
 ):
     """Executor training with chain-level scheduled sampling (train.scheduled):
     same protocol as ``train_executor_synthetic`` but batches are whole
@@ -280,7 +311,10 @@ def train_executor_scheduled_synthetic(
         )
     else:
         variables = init_variables
-    params, tx = variables["params"], optax.adam(learning_rate)
+    params = variables["params"]
+    if learning_rate is None:
+        learning_rate = default_executor_lr(cfg.d_model)
+    tx = _make_optimizer(learning_rate, lr_schedule, steps)
     opt_state = tx.init(params)
     loss_fn = make_scheduled_loss_fn(model, cfg)
     rng = np.random.RandomState(seed)

@@ -38,6 +38,21 @@ def test_run_cogent_protocol_tiny():
     assert t.total == result["sizes"]["val_questions"]
 
 
+def test_run_cogent_protocol_capacity_knobs():
+    """The flagship-recipe knobs (d_model/layers/box_roi/cosine/hops,
+    VERDICT r3 #5) must thread through the four-cell protocol."""
+    result = run_cogent_protocol(
+        num_scenes_a=8, num_scenes_val=3, num_scenes_b_pool=4,
+        questions_per_scene=3, gen_steps=10, exe_steps=10, ft_steps=5,
+        finetune_images=2, finetune_questions=6, seed=0,
+        d_model=48, encoder_layers=1, box_roi=True, lr_schedule="cosine",
+        hop_prob=0.8, chain_prob=0.5, max_chain_steps=14,
+    )
+    cells = result["report"].as_dict()
+    for name, v in cells.items():
+        assert v is not None and 0.0 <= v <= 1.0, (name, v)
+
+
 def test_cogent_scene_palettes_disjoint_for_restricted_shapes():
     # the synthetic CoGenT conditions must actually produce the palette split
     from explainable_spatial_vqa_tpu.clevr.synthetic import random_scene_cogent
