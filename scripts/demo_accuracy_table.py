@@ -72,7 +72,7 @@ def main():
     lr_schedule = os.environ.get("DEMO_LR_SCHEDULE", "constant")
     d_model = int(os.environ.get("DEMO_DMODEL", "0"))  # 0 = protocol default
     layers = int(os.environ.get("DEMO_LAYERS", "2"))  # encoder layers
-    box_roi = bool(int(os.environ.get("DEMO_BOX_ROI", "0")))  # ROI content
+    box_roi = bool(int(os.environ.get("DEMO_BOX_ROI", "1")))  # ROI content
     max_steps = 16  # chained hops reach 16 nodes (max_nodes below)
 
     print(f"synthesizing corpus ({num_scenes} scenes x {qps}, "
