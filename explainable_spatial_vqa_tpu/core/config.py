@@ -135,6 +135,14 @@ class ExecutorConfig:
     # LEARN box<->patch binding through positional cross-attention from a
     # handful of samples, and measurably sits at chance (DEMO.md Table 4.4).
     box_roi: bool = False
+    # Content-similarity channel (beyond-reference, off by default; requires
+    # box_roi): every image token additionally receives a zero-init projection
+    # of its learned-bilinear similarity to each input-box's pooled ROI
+    # content.  Motivation: same_*/relate must mark ALL patches whose content
+    # matches the dependency box — a content-content matching problem that
+    # positional cross-attention learns slowly; this exposes the match map
+    # directly (one einsum).  Zero-init ⇒ exact no-op at initialization.
+    roi_sim: bool = False
 
 
 @dataclass(frozen=True)
@@ -303,6 +311,17 @@ def _preset_map() -> Dict[str, ExperimentConfig]:
         name="executor_roi",
         model_family="executor",
         model=ExecutorConfig(box_roi=True),
+        optim=OptimConfig(learning_rate=1e-4),
+        train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
+    )
+
+    # Beyond-reference: box_roi + content-similarity channel
+    # (ExecutorConfig.roi_sim) — gives same_*/relate the "all patches whose
+    # content matches the dependency box" map directly.
+    presets["executor_roi_sim"] = ExperimentConfig(
+        name="executor_roi_sim",
+        model_family="executor",
+        model=ExecutorConfig(box_roi=True, roi_sim=True),
         optim=OptimConfig(learning_rate=1e-4),
         train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
     )

@@ -129,8 +129,19 @@ class ProgramExecutor(nn.Module):
             cfg.encoder_layers, cfg.d_model, cfg.num_heads, cfg.d_model * 4,
             cfg.dropout, dtype=self.dtype, remat=cfg.remat, name="fusion",
         )
+        if cfg.roi_sim and not cfg.box_roi:
+            raise ValueError("roi_sim requires box_roi (it reuses the pooled ROI content)")
         if cfg.box_roi:
             self.roi_proj = nn.Dense(cfg.d_model, dtype=self.dtype, name="roi_proj")
+        if cfg.roi_sim:
+            self.sim_roi_proj = nn.Dense(cfg.d_model, dtype=self.dtype, name="sim_roi_proj")
+            self.sim_img_proj = nn.Dense(cfg.d_model, dtype=self.dtype, name="sim_img_proj")
+            # Zero-init: the similarity channel is an exact no-op at init, so
+            # turning roi_sim on cannot hurt the early optimization.
+            self.sim_embed = nn.Dense(
+                cfg.d_model, dtype=self.dtype, name="sim_embed",
+                kernel_init=nn.initializers.zeros,
+            )
         self.routing_head = nn.Dense(2, dtype=jnp.float32, name="routing_head")
         self.token_head = nn.Dense(cfg.token_classes, dtype=jnp.float32, name="token_head")
         self.box_decoder = BoxDecoder(cfg, dtype=self.dtype, name="box_decoder")
@@ -194,6 +205,20 @@ class ProgramExecutor(nn.Module):
             weights = roi_coverage_weights(input_boxes, grid).astype(self.dtype)
             pooled = jnp.einsum("bsp,bpd->bsd", weights, img)
             box = box + self.roi_proj(pooled)
+            if cfg.roi_sim:
+                # Content-similarity channel: mark, for every image token, how
+                # strongly its content matches each dependency box's pooled ROI
+                # content (learned bilinear form).  same_*/relate need exactly
+                # this "all patches like the input box" map; positional
+                # cross-attention learns it slowly from ~1/7 of corpus steps.
+                # Per-slot sims are kept separate (B, P, S) so the model can
+                # tell WHICH dependency matched; invalid slots are zeroed.
+                q = self.sim_roi_proj(pooled)  # (B, S, d)
+                k = self.sim_img_proj(img)  # (B, P, d)
+                sim = jnp.einsum("bsd,bpd->bps", q, k) / jnp.sqrt(
+                    jnp.asarray(cfg.d_model, self.dtype))
+                sim = sim * box_mask.astype(self.dtype)[:, None, :]
+                img = img + self.sim_embed(sim)
 
         text = self.text_embed(text_tokens).astype(self.dtype)
         text = text + self.text_pos[None].astype(self.dtype)

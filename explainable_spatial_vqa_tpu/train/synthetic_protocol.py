@@ -167,6 +167,7 @@ def train_executor_synthetic(
     log_every: int = 100,
     lr_schedule: str = "constant",
     box_roi: Optional[bool] = None,
+    roi_sim: Optional[bool] = None,
 ):
     """Thesis-executor set-loss training over flattened annotation steps.
 
@@ -188,6 +189,7 @@ def train_executor_synthetic(
             sinkhorn_tau=1.0 if sinkhorn_tau is None else sinkhorn_tau,
             sinkhorn_iters=20 if sinkhorn_iters is None else sinkhorn_iters,
             box_roi=bool(box_roi),
+            roi_sim=bool(roi_sim),
         )
     else:
         cfg = config
@@ -197,6 +199,7 @@ def train_executor_synthetic(
             ("sinkhorn_tau", "sinkhorn_tau", sinkhorn_tau),
             ("sinkhorn_iters", "sinkhorn_iters", sinkhorn_iters),
             ("box_roi", "box_roi", box_roi),
+            ("roi_sim", "roi_sim", roi_sim),
         ):
             if val is not None and getattr(cfg, attr) != val:
                 raise ValueError(

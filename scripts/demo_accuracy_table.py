@@ -73,6 +73,7 @@ def main():
     d_model = int(os.environ.get("DEMO_DMODEL", "0"))  # 0 = protocol default
     layers = int(os.environ.get("DEMO_LAYERS", "2"))  # encoder layers
     box_roi = bool(int(os.environ.get("DEMO_BOX_ROI", "1")))  # ROI content
+    roi_sim = bool(int(os.environ.get("DEMO_ROI_SIM", "0")))  # sim channel
     max_steps = 16  # chained hops reach 16 nodes (max_nodes below)
 
     print(f"synthesizing corpus ({num_scenes} scenes x {qps}, "
@@ -111,6 +112,7 @@ def main():
             image_feature_dim=64, max_input_boxes=8,
             token_classes=len(split_vocab["other"]) + 1, dropout=0.0,
             input_box_noise=noise, input_box_drop=drop, box_roi=box_roi,
+            roi_sim=roi_sim,
         )
     print(f"training executor on {len(train_ann)} annotated questions "
           f"({exe_steps} steps, noise={noise}, drop={drop}, "
@@ -119,7 +121,7 @@ def main():
     executor, exe_vars, exe_cfg, exe_loss = train_executor_synthetic(
         train_ann, split_vocab, features, steps=exe_steps, seed=seed,
         noise=noise, drop=drop, lr_schedule=lr_schedule, config=exe_config,
-        box_roi=box_roi)
+        box_roi=box_roi, roi_sim=roi_sim)
     print(f"  final loss {exe_loss:.4f}")
 
     # ---- Table 4.2 + 4.5: full pipeline on held-out scenes ----
@@ -186,6 +188,7 @@ def main():
         + (f", d_model={d_model}" if d_model else "")
         + (f", {layers}L encoder" if layers != 2 else "")
         + (", box_roi" if box_roi else "")
+        + (", roi_sim" if roi_sim else "")
         + f"), {len(eval_q)} eval questions on held-out scenes, platform "
         f"{platform}, {elapsed:.0f}s.",
         "",

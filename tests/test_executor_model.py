@@ -279,3 +279,83 @@ def test_box_roi_forward_and_paths_agree():
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
     assert np.abs(np.asarray(grads["roi_proj"]["kernel"])).sum() > 0
+
+
+def test_roi_sim_noop_at_init_and_trains():
+    """roi_sim executor: (a) zero-init sim_embed makes the similarity channel
+    an EXACT no-op at init — outputs equal a box_roi-only model sharing every
+    other parameter; (b) grads reach the sim projections; (c) the precomputed
+    path matches the raw path; (d) roi_sim without box_roi raises."""
+    import dataclasses
+
+    cfg_roi = dataclasses.replace(CFG, box_roi=True)
+    cfg_sim = dataclasses.replace(CFG, box_roi=True, roi_sim=True)
+    batch = _batch()
+    model_sim = ProgramExecutor(cfg_sim)
+    variables = model_sim.init(jax.random.PRNGKey(0), *batch)
+    for name in ("sim_roi_proj", "sim_img_proj", "sim_embed"):
+        assert name in variables["params"]
+    assert np.abs(np.asarray(variables["params"]["sim_embed"]["kernel"])).sum() == 0
+
+    # (a) graft the shared params onto a box_roi-only model: identical output
+    model_roi = ProgramExecutor(cfg_roi)
+    shared = {k: v for k, v in variables["params"].items()
+              if k not in ("sim_roi_proj", "sim_img_proj", "sim_embed")}
+    out_sim = model_sim.apply(variables, *batch)
+    out_roi = model_roi.apply({"params": shared}, *batch)
+    np.testing.assert_allclose(
+        np.asarray(out_sim["token_logits"]), np.asarray(out_roi["token_logits"]),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_sim["pred_boxes"]), np.asarray(out_roi["pred_boxes"]),
+        atol=1e-6)
+
+    # (b) grads flow into the sim channel (zero-init kernel still gets grads
+    # because its INPUT is nonzero; the upstream projections get grads once
+    # the kernel moves — check via a two-step finite check on sim_embed)
+    def loss(p):
+        o = model_sim.apply({"params": p}, *batch)
+        return jnp.sum(o["token_logits"] ** 2) + jnp.sum(o["pred_boxes"])
+
+    grads = jax.grad(loss)(variables["params"])
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.abs(np.asarray(grads["sim_embed"]["kernel"])).sum() > 0
+
+    # (c) precomputed-image path parity
+    img, boxes, box_mask, text, text_mask = batch
+    pre = model_sim.apply(variables, img, method=ProgramExecutor.precompute_image)
+    out_pre = model_sim.apply(
+        variables, pre, boxes, box_mask, text, text_mask,
+        image_precomputed=True)
+    np.testing.assert_allclose(
+        np.asarray(out_sim["token_logits"]), np.asarray(out_pre["token_logits"]),
+        atol=1e-5)
+
+    # (d) config guard
+    import dataclasses as dc
+    bad = dc.replace(CFG, box_roi=False, roi_sim=True)
+    with pytest.raises(ValueError, match="roi_sim requires box_roi"):
+        ProgramExecutor(bad).init(jax.random.PRNGKey(0), *batch)
+
+
+def test_roi_sim_masks_padded_slots():
+    """A padded input-box slot must contribute nothing to the similarity
+    channel: flipping the CONTENT of a masked slot's box coords must not
+    change any output."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, box_roi=True, roi_sim=True)
+    model = ProgramExecutor(cfg)
+    img, boxes, box_mask, text, text_mask = _batch()
+    variables = model.init(jax.random.PRNGKey(1), img, boxes, box_mask, text, text_mask)
+    # randomize sim_embed so the channel is active
+    p = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    p["sim_embed"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(2), p["sim_embed"]["kernel"].shape) * 0.1
+    out_a = model.apply({"params": p}, img, boxes, box_mask, text, text_mask)
+    boxes_b = boxes.at[:, 2, :].set(jnp.asarray([0.1, 0.1, 0.9, 0.9]))
+    out_b = model.apply({"params": p}, img, boxes_b, box_mask, text, text_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_a["token_logits"]), np.asarray(out_b["token_logits"]),
+        atol=1e-5)
