@@ -469,7 +469,11 @@ def cmd_tally(args: argparse.Namespace) -> None:
     # max(preset, data) sizing — the same formula the training pipelines use,
     # so checkpoints written by `train` restore with matching shapes here
     gen_preset = get_preset("generator").model
-    exe_preset = get_preset("executor").model
+    exe_preset = get_preset(args.executor_preset).model
+    if not hasattr(exe_preset, "box_roi"):
+        raise SystemExit(
+            f"--executor_preset {args.executor_preset!r} is not an "
+            "executor-family preset")
     gen_cfg = dataclasses.replace(
         gen_preset,
         vocab_size=max(gen_preset.vocab_size, int(questions.max()) + 1),
@@ -948,6 +952,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split_vocab_json", required=True)
     p.add_argument("--generator_checkpoint", default=None)
     p.add_argument("--executor_checkpoint", default=None)
+    p.add_argument("--executor_preset", default="executor",
+                   help="executor-family preset whose model config to build "
+                        "(e.g. executor_roi / executor_roi_sim so checkpoints "
+                        "trained with those presets restore with matching "
+                        "param trees)")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--annotated_h5", default=None,
                    help="also compute per-function box P/R + token accuracy "

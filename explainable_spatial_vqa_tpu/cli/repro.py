@@ -89,12 +89,14 @@ def _prepare_split(root, split, work, vocab, platform, torch_weights, resize,
     return art
 
 
-def _tally(art_eval, vocab, split_vocab, gen_ckpt, exe_ckpt, platform, limit):
+def _tally(art_eval, vocab, split_vocab, gen_ckpt, exe_ckpt, platform, limit,
+           executor_preset="executor"):
     argv = ["tally", "--questions_h5", art_eval["questions_h5"],
             "--features_h5", art_eval["features_h5"],
             "--vocab_json", vocab, "--split_vocab_json", split_vocab,
             "--generator_checkpoint", gen_ckpt,
-            "--executor_checkpoint", exe_ckpt, "--calibrate_conf"]
+            "--executor_checkpoint", exe_ckpt, "--calibrate_conf",
+            "--executor_preset", executor_preset]
     if art_eval.get("annotated_h5"):
         argv += ["--annotated_h5", art_eval["annotated_h5"]]
     if limit:
@@ -157,7 +159,7 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
 
     # 6. train the Program Executor on per-step annotations
     exe_ckpt = os.path.join(work, "ckpt_executor")
-    _sub(["train", "--preset", "executor",
+    _sub(["train", "--preset", args.executor_preset,
           "--annotated_h5", train["annotated_h5"],
           "--features_h5", train["features_h5"],
           "--split_vocab_json", split_vocab,
@@ -169,7 +171,7 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
 
     # 7. faithfulness + per-type + per-function tables on val
     tally_out = _tally(val, vocab, split_vocab, gen_ckpt, exe_ckpt, platform,
-                       args.eval_limit)
+                       args.eval_limit, args.executor_preset)
     val_label = ("val split" if not val_substituted else
                  "TRAIN split substituted for missing val "
                  + "/".join(val_substituted) + " — not held-out")
@@ -191,7 +193,7 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
                 "questions/images needed for the zero-shot valB cell")
         zero_a = tally_out
         zero_b = _tally(val_b, vocab, split_vocab, gen_ckpt, exe_ckpt,
-                        platform, args.eval_limit)
+                        platform, args.eval_limit, args.executor_preset)
         # fine-tune on a condition-B train subset (thesis: 3k img / 30k q),
         # resuming from the condition-A checkpoints (orbax restores latest);
         # same --batch_size as the condition-A runs so the four Table 4.6
@@ -217,7 +219,7 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
               "--checkpoint_dir", ft_gen,
               "--history_json", os.path.join(work, "generator_ftB_history.json"),
               "--epochs", str(args.gen_epochs + args.ft_epochs)] + bs, platform)
-        _sub(["train", "--preset", "executor",
+        _sub(["train", "--preset", args.executor_preset,
               "--annotated_h5", train_b["annotated_h5"],
               "--features_h5", train_b["features_h5"],
               "--split_vocab_json", split_vocab,
@@ -225,9 +227,9 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
               "--history_json", os.path.join(work, "executor_ftB_history.json"),
               "--epochs", str(args.exe_epochs + args.ft_epochs)] + bs, platform)
         ft_a = _tally(val, vocab, split_vocab, ft_gen, ft_exe, platform,
-                      args.eval_limit)
+                      args.eval_limit, args.executor_preset)
         ft_b = _tally(val_b, vocab, split_vocab, ft_gen, ft_exe, platform,
-                      args.eval_limit)
+                      args.eval_limit, args.executor_preset)
         report += ["## Table 4.6 (CoGenT A->B)", ""]
         for label, out in [("train A, eval valA (zero-shot)", zero_a),
                            ("train A, eval valB (zero-shot)", zero_b),
@@ -265,6 +267,12 @@ def add_repro_parser(sub) -> None:
     p.add_argument("--feature_batch", type=int, default=64)
     p.add_argument("--gen_epochs", type=int, default=20)
     p.add_argument("--exe_epochs", type=int, default=100)
+    p.add_argument("--executor_preset", default="executor",
+                   help="executor-family preset for training + tally "
+                        "(executor_roi recommended: the round-3 diagnosis "
+                        "shows plain positional cross-attention leaves "
+                        "query_color at chance; executor_roi_sim adds the "
+                        "content-similarity channel for same_*)")
     p.add_argument("--ft_epochs", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--eval_limit", type=int, default=0)

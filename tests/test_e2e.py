@@ -262,6 +262,19 @@ def test_cli_tally(workdir, capsys):
     out = capsys.readouterr().out
     assert "Faithfulness over 4 samples" in out
     assert "overall" in out
+    # --executor_preset builds the roi_sim executor family so checkpoints
+    # trained with those presets restore with matching param trees
+    cli_main([
+        "tally",
+        "--questions_h5", str(workdir / "questions.h5"),
+        "--features_h5", str(workdir / "features_full.h5"),
+        "--vocab_json", str(workdir / "vocab.json"),
+        "--split_vocab_json", str(workdir / "vocab3.json"),
+        "--executor_preset", "executor_roi_sim",
+        "--limit", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "Faithfulness over 2 samples" in out
 
 
 def test_cli_eval_generator(workdir, capsys):

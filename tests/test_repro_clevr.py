@@ -84,7 +84,8 @@ def test_repro_clevr_single_invocation(tmp_path, capsys):
     assert pathlib.Path(payload["checkpoints"][0]).exists()
 
 
-def _stubbed_repro(monkeypatch, tmp_path, splits, cogent_b=None):
+def _stubbed_repro(monkeypatch, tmp_path, splits, cogent_b=None,
+                   executor_preset="executor"):
     """Drive cmd_repro_clevr's ORCHESTRATION with the heavy subcommands
     stubbed out: _prepare_split returns canned artifact dicts per
     (root, split), _sub records its argv.  Exercises the control flow the
@@ -109,7 +110,8 @@ def _stubbed_repro(monkeypatch, tmp_path, splits, cogent_b=None):
         clevr_root="A", workdir=str(tmp_path / "w"), platform="cpu",
         torch_weights=None, resize="pil", feature_batch=8,
         gen_epochs=1, exe_epochs=1, ft_epochs=1, batch_size=4,
-        eval_limit=8, cogent_b_root=cogent_b)
+        eval_limit=8, cogent_b_root=cogent_b,
+        executor_preset=executor_preset)
     repro.cmd_repro_clevr(args)
     return calls, (tmp_path / "w" / "REPORT.md").read_text()
 
@@ -131,6 +133,25 @@ def test_repro_cogent_branch_uses_batch_size(monkeypatch, tmp_path, capsys):
         assert "--batch_size" in c and "4" in c
     assert "## Table 4.6 (CoGenT A->B)" in report
     assert "fine-tune B, eval valB" in report
+
+
+def test_repro_executor_preset_threads_through(monkeypatch, tmp_path, capsys):
+    """--executor_preset must reach every executor train AND every tally
+    (a checkpoint trained with executor_roi restores only into a matching
+    param tree; a tally built from the plain preset would fail or silently
+    mis-evaluate)."""
+    splits = {("A", "train"): FULL, ("A", "val"): FULL,
+              ("B", "train"): FULL, ("B", "val"): FULL}
+    calls, _ = _stubbed_repro(monkeypatch, tmp_path, splits, cogent_b="B",
+                              executor_preset="executor_roi")
+    exe_trains = [c for c in calls if c[0] == "train" and "--annotated_h5" in c]
+    assert len(exe_trains) == 2
+    for c in exe_trains:
+        assert c[c.index("--preset") + 1] == "executor_roi"
+    tallies = [c for c in calls if c[0] == "tally"]
+    assert len(tallies) == 4
+    for c in tallies:
+        assert c[c.index("--executor_preset") + 1] == "executor_roi"
 
 
 def test_repro_val_substitution_is_labeled(monkeypatch, tmp_path, capsys):
