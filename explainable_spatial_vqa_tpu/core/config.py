@@ -143,6 +143,14 @@ class ExecutorConfig:
     # positional cross-attention learns slowly; this exposes the match map
     # directly (one einsum).  Zero-init ⇒ exact no-op at initialization.
     roi_sim: bool = False
+    # Input-box-count embedding (beyond-reference, off by default): CLS
+    # additionally receives a zero-init embedding of the NUMBER of unmasked
+    # input-box slots.  Motivation: ``count``/``exist`` must count set
+    # members through attention pooling — notoriously weak — while the set
+    # size is exactly known (GT set size in training, thresholded confident
+    # boxes at chained inference: both are hard boolean masks), so the
+    # answer head can read it directly.  Zero-init ⇒ exact no-op at init.
+    count_embed: bool = False
 
 
 @dataclass(frozen=True)
@@ -311,6 +319,17 @@ def _preset_map() -> Dict[str, ExperimentConfig]:
         name="executor_roi",
         model_family="executor",
         model=ExecutorConfig(box_roi=True),
+        optim=OptimConfig(learning_rate=1e-4),
+        train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
+    )
+
+    # Beyond-reference: box_roi + input-box-count embedding
+    # (ExecutorConfig.count_embed) — count/exist read the input-set size
+    # directly instead of counting through attention pooling.
+    presets["executor_roi_count"] = ExperimentConfig(
+        name="executor_roi_count",
+        model_family="executor",
+        model=ExecutorConfig(box_roi=True, count_embed=True),
         optim=OptimConfig(learning_rate=1e-4),
         train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
     )

@@ -133,6 +133,15 @@ class ProgramExecutor(nn.Module):
             raise ValueError("roi_sim requires box_roi (it reuses the pooled ROI content)")
         if cfg.box_roi:
             self.roi_proj = nn.Dense(cfg.d_model, dtype=self.dtype, name="roi_proj")
+        if cfg.count_embed:
+            # Zero-init: the count channel is an exact no-op at init.  Indexed
+            # by the number of unmasked input-box slots (0..max_input_boxes) —
+            # well-defined in BOTH regimes: GT set size during training,
+            # thresholded confident boxes during chained inference.
+            self.count_embedder = nn.Embed(
+                cfg.max_input_boxes + 1, cfg.d_model,
+                embedding_init=nn.initializers.zeros, name="count_embed",
+            )
         if cfg.roi_sim:
             self.sim_roi_proj = nn.Dense(cfg.d_model, dtype=self.dtype, name="sim_roi_proj")
             self.sim_img_proj = nn.Dense(cfg.d_model, dtype=self.dtype, name="sim_img_proj")
@@ -224,6 +233,13 @@ class ProgramExecutor(nn.Module):
         text = text + self.text_pos[None].astype(self.dtype)
 
         cls = jnp.broadcast_to(self.cls_token, (batch, 1, cfg.d_model)).astype(self.dtype)
+        if cfg.count_embed:
+            # CLS carries the input-set size explicitly so count/exist don't
+            # have to count set members through attention pooling.  Depends
+            # on the MASK only (never box contents), so padded-slot
+            # invariance is preserved by construction.
+            k = jnp.sum(box_mask.astype(jnp.int32), axis=1)
+            cls = cls + self.count_embedder(k)[:, None, :].astype(self.dtype)
         x = jnp.concatenate([cls, img, box, text], axis=1)
 
         valid = jnp.concatenate(

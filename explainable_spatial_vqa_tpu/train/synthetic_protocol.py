@@ -168,6 +168,7 @@ def train_executor_synthetic(
     lr_schedule: str = "constant",
     box_roi: Optional[bool] = None,
     roi_sim: Optional[bool] = None,
+    count_embed: Optional[bool] = None,
 ):
     """Thesis-executor set-loss training over flattened annotation steps.
 
@@ -190,6 +191,7 @@ def train_executor_synthetic(
             sinkhorn_iters=20 if sinkhorn_iters is None else sinkhorn_iters,
             box_roi=bool(box_roi),
             roi_sim=bool(roi_sim),
+            count_embed=bool(count_embed),
         )
     else:
         cfg = config
@@ -200,6 +202,7 @@ def train_executor_synthetic(
             ("sinkhorn_iters", "sinkhorn_iters", sinkhorn_iters),
             ("box_roi", "box_roi", box_roi),
             ("roi_sim", "roi_sim", roi_sim),
+            ("count_embed", "count_embed", count_embed),
         ):
             if val is not None and getattr(cfg, attr) != val:
                 raise ValueError(

@@ -359,3 +359,67 @@ def test_roi_sim_masks_padded_slots():
     np.testing.assert_allclose(
         np.asarray(out_a["token_logits"]), np.asarray(out_b["token_logits"]),
         atol=1e-5)
+
+
+def test_count_embed_noop_at_init_and_counts():
+    """count_embed executor: (a) zero-init embedding is an EXACT no-op at
+    init — outputs equal a plain model sharing every other parameter;
+    (b) grads reach the embedding; (c) once the embedding is nonzero the
+    output responds to the NUMBER of unmasked slots but never to the
+    CONTENTS of a masked slot; (d) precomputed-image path parity."""
+    import dataclasses
+
+    cfg_cnt = dataclasses.replace(CFG, count_embed=True)
+    batch = _batch()
+    model_cnt = ProgramExecutor(cfg_cnt)
+    variables = model_cnt.init(jax.random.PRNGKey(0), *batch)
+    assert "count_embed" in variables["params"]
+    assert np.abs(np.asarray(variables["params"]["count_embed"]["embedding"])).sum() == 0
+
+    # (a) graft shared params onto the plain model: identical output
+    model_plain = ProgramExecutor(CFG)
+    shared = {k: v for k, v in variables["params"].items() if k != "count_embed"}
+    out_cnt = model_cnt.apply(variables, *batch)
+    out_plain = model_plain.apply({"params": shared}, *batch)
+    np.testing.assert_allclose(
+        np.asarray(out_cnt["token_logits"]), np.asarray(out_plain["token_logits"]),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_cnt["pred_boxes"]), np.asarray(out_plain["pred_boxes"]),
+        atol=1e-6)
+
+    # (b) grads flow into the embedding
+    def loss(p):
+        o = model_cnt.apply({"params": p}, *batch)
+        return jnp.sum(o["token_logits"] ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.abs(np.asarray(grads["count_embed"]["embedding"])).sum() > 0
+
+    # (c) sensitivity to mask COUNT, invariance to masked-slot CONTENT
+    img, boxes, box_mask, text, text_mask = batch
+    p = dict(variables["params"])
+    p["count_embed"] = {"embedding": jax.random.normal(
+        jax.random.PRNGKey(2),
+        variables["params"]["count_embed"]["embedding"].shape) * 0.1}
+    out_a = model_cnt.apply({"params": p}, img, boxes, box_mask, text, text_mask)
+    mask_b = box_mask.at[:, 1].set(False)  # 2 -> 1 unmasked slots
+    out_b = model_cnt.apply({"params": p}, img, boxes, mask_b, text, text_mask)
+    assert np.abs(np.asarray(out_a["token_logits"])
+                  - np.asarray(out_b["token_logits"])).max() > 1e-6
+    boxes_c = boxes.at[:, 2, :].set(jnp.asarray([0.1, 0.1, 0.9, 0.9]))
+    out_c = model_cnt.apply({"params": p}, img, boxes_c, box_mask, text, text_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_a["token_logits"]), np.asarray(out_c["token_logits"]),
+        atol=1e-5)
+
+    # (d) precomputed-image path parity
+    pre = model_cnt.apply({"params": p}, img, method=ProgramExecutor.precompute_image)
+    out_pre = model_cnt.apply(
+        {"params": p}, pre, boxes, box_mask, text, text_mask,
+        image_precomputed=True)
+    np.testing.assert_allclose(
+        np.asarray(out_a["token_logits"]), np.asarray(out_pre["token_logits"]),
+        atol=1e-5)
