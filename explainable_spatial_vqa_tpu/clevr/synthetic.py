@@ -262,8 +262,8 @@ def _hop_branch(
         # count 0 answers in distribution)
         pre = ""
         if rng.uniform() < 0.6:
-            attr2 = [a for a in ATTRIBUTE_VALUES if a != exclude_attr][
-                rng.randint(3 if exclude_attr else 4)]
+            attrs2 = [a for a in ATTRIBUTE_VALUES if a != exclude_attr]
+            attr2 = attrs2[rng.randint(len(attrs2))]
             if out and rng.uniform() < 0.5:
                 val = objs[int(out[rng.randint(len(out))])][attr2]
             else:
@@ -448,10 +448,17 @@ def random_question(
 def synthesize_dataset(
     num_scenes: int, questions_per_scene: int, seed: int = 0,
     hop_prob: float = 0.0, chain_prob: float = 0.0, max_nodes: int = 12,
+    palette_size: int = 4,
 ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
-    """Returns (raw scenes, question records with programs + answers)."""
+    """Returns (raw scenes, question records with programs + answers).
+
+    ``palette_size=8`` restores the legacy uniform color DISTRIBUTION
+    (pre-r4 corpora), though not the exact legacy RNG stream — the palette
+    draw itself advances the generator, so scene geometry differs draw-for-
+    draw from corpora generated before the palette change."""
     rng = np.random.RandomState(seed)
-    scenes_raw = [random_scene(rng, i) for i in range(num_scenes)]
+    scenes_raw = [random_scene(rng, i, palette_size=palette_size)
+                  for i in range(num_scenes)]
     questions: List[Dict[str, Any]] = []
     for raw in scenes_raw:
         scene = Scene.from_raw(raw)

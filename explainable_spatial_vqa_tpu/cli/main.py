@@ -798,6 +798,8 @@ def cmd_cogent_protocol(args: argparse.Namespace) -> None:
         d_model=args.d_model,
         encoder_layers=args.encoder_layers,
         box_roi=args.box_roi,
+        roi_sim=args.roi_sim,
+        count_embed=args.count_embed,
         lr_schedule=args.lr_schedule,
         hop_prob=args.hop_prob,
         chain_prob=args.chain_prob,
@@ -1036,6 +1038,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--box_roi", action="store_true",
                    help="ROI content injection under input boxes "
                         "(docs/DESIGN.md §11)")
+    p.add_argument("--roi_sim", action="store_true",
+                   help="content-similarity channel on top of box_roi "
+                        "(docs/DESIGN.md §12)")
+    p.add_argument("--count_embed", action="store_true",
+                   help="input-box-count embedding on CLS "
+                        "(docs/DESIGN.md §13)")
     p.add_argument("--lr_schedule", default="constant",
                    choices=["constant", "cosine"])
     p.add_argument("--hop_prob", type=float, default=0.0,

@@ -105,6 +105,19 @@ def _tally(art_eval, vocab, split_vocab, gen_ckpt, exe_ckpt, platform, limit,
 
 
 def cmd_repro_clevr(args: argparse.Namespace) -> None:
+    # Fail fast on a bad --executor_preset: it is first USED at step 6,
+    # after hours of feature extraction + generator training on real CLEVR.
+    from explainable_spatial_vqa_tpu.core.config import get_preset
+
+    try:
+        exe_preset = get_preset(args.executor_preset).model
+    except KeyError as e:
+        raise SystemExit(str(e)) from None
+    if not hasattr(exe_preset, "box_roi"):
+        raise SystemExit(
+            f"--executor_preset {args.executor_preset!r} is not an "
+            "executor-family preset")
+
     work = args.workdir
     os.makedirs(work, exist_ok=True)
     platform = args.platform

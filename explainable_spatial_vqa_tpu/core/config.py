@@ -147,9 +147,13 @@ class ExecutorConfig:
     # additionally receives a zero-init embedding of the NUMBER of unmasked
     # input-box slots.  Motivation: ``count``/``exist`` must count set
     # members through attention pooling — notoriously weak — while the set
-    # size is exactly known (GT set size in training, thresholded confident
-    # boxes at chained inference: both are hard boolean masks), so the
-    # answer head can read it directly.  Zero-init ⇒ exact no-op at init.
+    # size is explicit in the hard boolean mask at the interface (GT set in
+    # teacher-forced training, thresholded confident boxes at chained
+    # inference).  Note: under grounding-noise ``input_box_drop`` the
+    # training-time mask is the POST-drop one, so the channel is trained as
+    # "observed count" against the true-count target — which matches
+    # inference, where upstream recall < 1 drops boxes the same way.
+    # Zero-init ⇒ exact no-op at init.
     count_embed: bool = False
 
 

@@ -102,6 +102,8 @@ def run_cogent_protocol(
     d_model: int = 0,  # 0 = protocol default (96)
     encoder_layers: int = 2,
     box_roi: bool = False,
+    roi_sim: bool = False,
+    count_embed: bool = False,
     lr_schedule: str = "constant",
     hop_prob: float = 0.0,
     chain_prob: float = 0.0,
@@ -179,17 +181,15 @@ def run_cogent_protocol(
     split_vocab = voc.build_split_vocab(train_a_ann + ft_b_ann)
 
     exe_config = None
-    if d_model or box_roi or encoder_layers != 2:
-        from explainable_spatial_vqa_tpu.core.config import ExecutorConfig
+    if d_model or box_roi or roi_sim or count_embed or encoder_layers != 2:
+        from explainable_spatial_vqa_tpu.train.synthetic_protocol import (
+            make_protocol_executor_config,
+        )
 
-        exe_config = ExecutorConfig(
-            vocab_size=len(split_vocab["function"]) + 1,
-            d_model=d_model or 96, num_heads=4,
-            encoder_layers=encoder_layers, box_decoder_layers=1,
-            num_queries=8, num_image_tokens=196, image_feature_dim=64,
-            max_input_boxes=8, token_classes=len(split_vocab["other"]) + 1,
-            dropout=0.0, input_box_noise=noise, input_box_drop=drop,
-            box_roi=box_roi,
+        exe_config = make_protocol_executor_config(
+            split_vocab, d_model=d_model or 96,
+            encoder_layers=encoder_layers, noise=noise, drop=drop,
+            box_roi=box_roi, roi_sim=roi_sim, count_embed=count_embed,
         )
 
     # --- phase 1: train on A ---

@@ -41,11 +41,45 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "default_executor_lr",
+    "make_protocol_executor_config",
     "train_generator_synthetic",
     "train_executor_synthetic",
     "train_executor_scheduled_synthetic",
     "evaluate_pipeline_synthetic",
 ]
+
+
+def make_protocol_executor_config(
+    vocabs: Dict,
+    *,
+    d_model: int = 96,
+    encoder_layers: int = 2,
+    noise: float = 0.0,
+    drop: float = 0.0,
+    sinkhorn_tau: float = 1.0,
+    sinkhorn_iters: int = 20,
+    box_roi: bool = False,
+    roi_sim: bool = False,
+    count_embed: bool = False,
+) -> ExecutorConfig:
+    """The synthetic-protocol ExecutorConfig in ONE place.
+
+    The fixed dims (4H, 1 box-decoder layer, 8 queries, 196 image tokens,
+    64 feature channels, 8 input-box slots) are the protocol constants every
+    synthetic run shares; sizing fields come from the split vocab.  Callers
+    that previously each re-copied this literal (evalsuite/cogent.py, the
+    demo/diag scripts) drifted — e.g. the CoGenT path could not express
+    roi_sim/count_embed (review r4 #10)."""
+    return ExecutorConfig(
+        vocab_size=len(vocabs["function"]) + 1,
+        d_model=d_model, num_heads=4, encoder_layers=encoder_layers,
+        box_decoder_layers=1, num_queries=8, num_image_tokens=196,
+        image_feature_dim=64, max_input_boxes=8,
+        token_classes=len(vocabs["other"]) + 1, dropout=0.0,
+        input_box_noise=noise, input_box_drop=drop,
+        sinkhorn_tau=sinkhorn_tau, sinkhorn_iters=sinkhorn_iters,
+        box_roi=box_roi, roi_sim=roi_sim, count_embed=count_embed,
+    )
 
 
 def _make_optimizer(learning_rate: float, lr_schedule: str, steps: int,
@@ -179,14 +213,10 @@ def train_executor_synthetic(
     silently ignoring the kwarg trained a different model than asked for
     (ADVICE r3 #1)."""
     if config is None:
-        cfg = ExecutorConfig(
-            vocab_size=len(vocabs["function"]) + 1,
-            d_model=96, num_heads=4, encoder_layers=2, box_decoder_layers=1,
-            num_queries=8, num_image_tokens=196, image_feature_dim=64,
-            max_input_boxes=8, token_classes=len(vocabs["other"]) + 1,
-            dropout=0.0,
-            input_box_noise=0.0 if noise is None else noise,
-            input_box_drop=0.0 if drop is None else drop,
+        cfg = make_protocol_executor_config(
+            vocabs,
+            noise=0.0 if noise is None else noise,
+            drop=0.0 if drop is None else drop,
             sinkhorn_tau=1.0 if sinkhorn_tau is None else sinkhorn_tau,
             sinkhorn_iters=20 if sinkhorn_iters is None else sinkhorn_iters,
             box_roi=bool(box_roi),

@@ -64,6 +64,7 @@ def main():
     # sampling, VERDICT r3 #2); the legacy r3 corpus was hop 0.3 / chain 0
     hop_prob = float(os.environ.get("DEMO_HOP_PROB", "1.0"))
     chain_prob = float(os.environ.get("DEMO_CHAIN_PROB", "0.8"))
+    palette = int(os.environ.get("DEMO_PALETTE", "4"))  # 8 = legacy colors
     gen_steps = int(os.environ.get("DEMO_GEN_STEPS", "1000"))
     exe_steps = int(os.environ.get("DEMO_EXE_STEPS", "12000"))
     noise = float(os.environ.get("DEMO_NOISE", "0.03"))
@@ -81,7 +82,7 @@ def main():
           f"hop_prob={hop_prob}, chain_prob={chain_prob})...")
     scenes_raw, questions = syn.synthesize_dataset(
         num_scenes, qps, seed=seed, hop_prob=hop_prob,
-        chain_prob=chain_prob, max_nodes=max_steps)
+        chain_prob=chain_prob, max_nodes=max_steps, palette_size=palette)
     scenes = {s["image_index"]: Scene.from_raw(s) for s in scenes_raw}
     clevr_vocab = voc.build_clevr_vocab([questions])
     annotated = ann.annotate_questions(questions, scenes)
@@ -103,12 +104,12 @@ def main():
     print(f"  final loss {gen_loss:.4f}")
 
     exe_config = None
-    if d_model:
+    if d_model or layers != 2:
         from explainable_spatial_vqa_tpu.core.config import ExecutorConfig
 
         exe_config = ExecutorConfig(
             vocab_size=len(split_vocab["function"]) + 1,
-            d_model=d_model, num_heads=4, encoder_layers=layers,
+            d_model=d_model or 96, num_heads=4, encoder_layers=layers,
             box_decoder_layers=1, num_queries=8, num_image_tokens=196,
             image_feature_dim=64, max_input_boxes=8,
             token_classes=len(split_vocab["other"]) + 1, dropout=0.0,
@@ -188,6 +189,7 @@ def main():
         + (f", lr_schedule={lr_schedule}" if lr_schedule != "constant" else "")
         + (f", d_model={d_model}" if d_model else "")
         + (f", {layers}L encoder" if layers != 2 else "")
+        + (f", palette={palette}" if palette != 4 else "")
         + (", box_roi" if box_roi else "")
         + (", roi_sim" if roi_sim else "")
         + (", count_embed" if count_embed else "")

@@ -121,14 +121,12 @@ def main():
         det = tally_predicted_chains(
             out, eval_ann, split_vocab["function"], split_vocab["other"],
             conf_threshold=0.5, max_steps=max_steps)
-        tok = det.token_accuracy()
         tok_overall = (
             sum(det.token_correct.values()) /
             max(1, sum(det.token_total.values())))
         rows.append((n_train, acc, tok_overall, float(loss)))
         print(f"  answer acc {acc['overall']:.3f}, "
               f"step-token acc {tok_overall:.3f}, final loss {loss:.4f}")
-        del tok
 
     elapsed = time.time() - t0
     platform = os.environ.get("DEMO_PLATFORM", "tpu")

@@ -232,19 +232,22 @@ def test_pool_matches_plain():
     assert int(iters) * 4 < n * max_steps  # beats the naive full-depth plan
 
 
-@pytest.mark.parametrize("roi_sim", [False, True])
-def test_serving_paths_match_plain_box_roi(roi_sim):
+@pytest.mark.parametrize("roi_sim,count_embed",
+                         [(False, False), (True, False), (False, True)])
+def test_serving_paths_match_plain_box_roi(roi_sim, count_embed):
     """run_sorted and run_pool must stay exact with ``box_roi=True`` (and
-    with the ``roi_sim`` content-similarity channel on top): the ROI
-    injection pools the positioned image tokens under each dependency
-    box (models/executor.py encode), and the serving paths re-gather image
-    tokens per batch/iteration — this interaction was unpinned (VERDICT r3
-    #3/#4).  Same parity contract as the plain-vs-sorted/pool tests."""
+    with the ``roi_sim`` content-similarity channel or the ``count_embed``
+    set-size channel on top): the ROI injection pools the positioned image
+    tokens under each dependency box (models/executor.py encode), the count
+    channel reads the per-step gathered box_mask, and the serving paths
+    re-gather image tokens and masks per batch/iteration — this interaction
+    was unpinned (VERDICT r3 #3/#4).  Same parity contract as the
+    plain-vs-sorted/pool tests."""
     cfg = ExecutorConfig(
         vocab_size=16, d_model=32, num_heads=4, encoder_layers=1,
         box_decoder_layers=1, num_queries=3, num_image_tokens=4,
         image_feature_dim=8, max_input_boxes=4, token_classes=8,
-        box_roi=True, roi_sim=roi_sim,
+        box_roi=True, roi_sim=roi_sim, count_embed=count_embed,
     )
     model = ProgramExecutor(cfg)
     rng = np.random.RandomState(11)
@@ -263,6 +266,14 @@ def test_serving_paths_match_plain_box_roi(roi_sim):
             jax.random.normal(
                 jax.random.PRNGKey(3),
                 variables["params"]["sim_embed"]["kernel"].shape) * 0.1)
+    if count_embed:
+        # count_embed is zero-init (exact no-op); randomize it so the
+        # per-step gathered box_mask count actually moves the outputs.
+        variables = jax.tree_util.tree_map(lambda x: x, variables)
+        variables["params"]["count_embed"]["embedding"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(4),
+                variables["params"]["count_embed"]["embedding"].shape) * 0.1)
     functions = rng.randint(1, 10, (n, max_steps)).astype(np.int32)
     deps = np.full((n, max_steps, 2), -1, np.int64)
     num_steps = np.asarray([2, 6, 3, 1, 5, 4, 6, 2, 3, 5], np.int32)
