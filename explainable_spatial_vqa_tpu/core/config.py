@@ -143,6 +143,15 @@ class ExecutorConfig:
     # positional cross-attention learns slowly; this exposes the match map
     # directly (one einsum).  Zero-init ⇒ exact no-op at initialization.
     roi_sim: bool = False
+    # Number of similarity heads for roi_sim.  One bilinear form yields a
+    # single FULL-content match map, but same_color must match in the color
+    # subspace only and same_shape in the shape subspace — different
+    # functions need different similarity projections.  K heads split the
+    # projected dims into K independent match maps (a basis the fusion can
+    # select from via the function token).  K=1 is exactly the original
+    # channel (same param shapes, same math), so existing roi_sim
+    # checkpoints load unchanged.
+    roi_sim_heads: int = 1
     # Input-box-count embedding (beyond-reference, off by default): CLS
     # additionally receives a zero-init embedding of the NUMBER of unmasked
     # input-box slots.  Motivation: ``count``/``exist`` must count set

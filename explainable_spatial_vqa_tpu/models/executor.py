@@ -131,6 +131,10 @@ class ProgramExecutor(nn.Module):
         )
         if cfg.roi_sim and not cfg.box_roi:
             raise ValueError("roi_sim requires box_roi (it reuses the pooled ROI content)")
+        if cfg.roi_sim and cfg.d_model % cfg.roi_sim_heads != 0:
+            raise ValueError(
+                f"roi_sim_heads={cfg.roi_sim_heads} must divide "
+                f"d_model={cfg.d_model}")
         if cfg.box_roi:
             self.roi_proj = nn.Dense(cfg.d_model, dtype=self.dtype, name="roi_proj")
         if cfg.count_embed:
@@ -222,11 +226,21 @@ class ProgramExecutor(nn.Module):
                 # cross-attention learns it slowly from ~1/7 of corpus steps.
                 # Per-slot sims are kept separate (B, P, S) so the model can
                 # tell WHICH dependency matched; invalid slots are zeroed.
+                # With roi_sim_heads=K>1, the projected dims split into K
+                # independent match maps — same_color needs a color-subspace
+                # match, same_shape a shape-subspace one; K heads give the
+                # fusion a basis to select from per function.  K=1 is exactly
+                # the original single-map channel.
+                heads = cfg.roi_sim_heads
+                dh = cfg.d_model // heads
                 q = self.sim_roi_proj(pooled)  # (B, S, d)
                 k = self.sim_img_proj(img)  # (B, P, d)
-                sim = jnp.einsum("bsd,bpd->bps", q, k) / jnp.sqrt(
-                    jnp.asarray(cfg.d_model, self.dtype))
-                sim = sim * box_mask.astype(self.dtype)[:, None, :]
+                q = q.reshape(q.shape[:-1] + (heads, dh))
+                k = k.reshape(k.shape[:-1] + (heads, dh))
+                sim = jnp.einsum("bshd,bphd->bpsh", q, k) / jnp.sqrt(
+                    jnp.asarray(dh, self.dtype))
+                sim = sim * box_mask.astype(self.dtype)[:, None, :, None]
+                sim = sim.reshape(sim.shape[:2] + (-1,))  # (B, P, S*K)
                 img = img + self.sim_embed(sim)
 
         text = self.text_embed(text_tokens).astype(self.dtype)

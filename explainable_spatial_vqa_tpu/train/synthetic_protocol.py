@@ -60,6 +60,7 @@ def make_protocol_executor_config(
     sinkhorn_iters: int = 20,
     box_roi: bool = False,
     roi_sim: bool = False,
+    roi_sim_heads: int = 1,
     count_embed: bool = False,
 ) -> ExecutorConfig:
     """The synthetic-protocol ExecutorConfig in ONE place.
@@ -78,7 +79,8 @@ def make_protocol_executor_config(
         token_classes=len(vocabs["other"]) + 1, dropout=0.0,
         input_box_noise=noise, input_box_drop=drop,
         sinkhorn_tau=sinkhorn_tau, sinkhorn_iters=sinkhorn_iters,
-        box_roi=box_roi, roi_sim=roi_sim, count_embed=count_embed,
+        box_roi=box_roi, roi_sim=roi_sim, roi_sim_heads=roi_sim_heads,
+        count_embed=count_embed,
     )
 
 
@@ -202,6 +204,7 @@ def train_executor_synthetic(
     lr_schedule: str = "constant",
     box_roi: Optional[bool] = None,
     roi_sim: Optional[bool] = None,
+    roi_sim_heads: Optional[int] = None,
     count_embed: Optional[bool] = None,
 ):
     """Thesis-executor set-loss training over flattened annotation steps.
@@ -221,6 +224,7 @@ def train_executor_synthetic(
             sinkhorn_iters=20 if sinkhorn_iters is None else sinkhorn_iters,
             box_roi=bool(box_roi),
             roi_sim=bool(roi_sim),
+            roi_sim_heads=1 if roi_sim_heads is None else roi_sim_heads,
             count_embed=bool(count_embed),
         )
     else:
@@ -232,6 +236,7 @@ def train_executor_synthetic(
             ("sinkhorn_iters", "sinkhorn_iters", sinkhorn_iters),
             ("box_roi", "box_roi", box_roi),
             ("roi_sim", "roi_sim", roi_sim),
+            ("roi_sim_heads", "roi_sim_heads", roi_sim_heads),
             ("count_embed", "count_embed", count_embed),
         ):
             if val is not None and getattr(cfg, attr) != val:

@@ -75,6 +75,7 @@ def main():
     layers = int(os.environ.get("DEMO_LAYERS", "2"))  # encoder layers
     box_roi = bool(int(os.environ.get("DEMO_BOX_ROI", "1")))  # ROI content
     roi_sim = bool(int(os.environ.get("DEMO_ROI_SIM", "0")))  # sim channel
+    sim_heads = int(os.environ.get("DEMO_SIM_HEADS", "1"))
     count_embed = bool(int(os.environ.get("DEMO_COUNT_EMBED", "0")))
     max_steps = 16  # chained hops reach 16 nodes (max_nodes below)
 
@@ -114,7 +115,8 @@ def main():
             image_feature_dim=64, max_input_boxes=8,
             token_classes=len(split_vocab["other"]) + 1, dropout=0.0,
             input_box_noise=noise, input_box_drop=drop, box_roi=box_roi,
-            roi_sim=roi_sim, count_embed=count_embed,
+            roi_sim=roi_sim, roi_sim_heads=sim_heads,
+            count_embed=count_embed,
         )
     print(f"training executor on {len(train_ann)} annotated questions "
           f"({exe_steps} steps, noise={noise}, drop={drop}, "
@@ -123,7 +125,9 @@ def main():
     executor, exe_vars, exe_cfg, exe_loss = train_executor_synthetic(
         train_ann, split_vocab, features, steps=exe_steps, seed=seed,
         noise=noise, drop=drop, lr_schedule=lr_schedule, config=exe_config,
-        box_roi=box_roi, roi_sim=roi_sim, count_embed=count_embed)
+        box_roi=box_roi, roi_sim=roi_sim,
+        roi_sim_heads=sim_heads if roi_sim else None,
+        count_embed=count_embed)
     print(f"  final loss {exe_loss:.4f}")
 
     # ---- Table 4.2 + 4.5: full pipeline on held-out scenes ----
@@ -191,7 +195,8 @@ def main():
         + (f", {layers}L encoder" if layers != 2 else "")
         + (f", palette={palette}" if palette != 4 else "")
         + (", box_roi" if box_roi else "")
-        + (", roi_sim" if roi_sim else "")
+        + ((f", roi_sim(K={sim_heads})" if sim_heads != 1 else ", roi_sim")
+           if roi_sim else "")
         + (", count_embed" if count_embed else "")
         + f"), {len(eval_q)} eval questions on held-out scenes, platform "
         f"{platform}, {elapsed:.0f}s.",

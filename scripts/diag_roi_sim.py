@@ -78,6 +78,7 @@ def main():
     steps = int(os.environ.get("DIAG_STEPS", "4000"))
     seed = int(os.environ.get("DIAG_SEED", "7"))
     d_model = int(os.environ.get("DIAG_DMODEL", "0"))
+    sim_heads = int(os.environ.get("DIAG_SIM_HEADS", "1"))
 
     print(f"synthesizing relational corpus ({num_scenes} scenes x {qps})...")
     scenes_raw, questions = syn.synthesize_dataset(
@@ -107,12 +108,13 @@ def main():
                 num_queries=8, num_image_tokens=196, image_feature_dim=64,
                 max_input_boxes=8, token_classes=len(vocabs["other"]) + 1,
                 dropout=0.0, input_box_noise=0.03, input_box_drop=0.1,
-                box_roi=True, roi_sim=sim,
+                box_roi=True, roi_sim=sim, roi_sim_heads=sim_heads,
             )
         model, variables, cfg, loss = train_executor_synthetic(
             train_ann, vocabs, features, steps=steps, seed=seed,
             noise=0.03, drop=0.1, lr_schedule="cosine", config=exe_config,
-            box_roi=True, roi_sim=sim)
+            box_roi=True, roi_sim=sim,
+            roi_sim_heads=sim_heads if sim else None)
         print(f"  final loss {loss:.4f}")
         results[tag] = _eval_tally(model, variables, cfg, eval_ann, vocabs,
                                    features)

@@ -423,3 +423,53 @@ def test_count_embed_noop_at_init_and_counts():
     np.testing.assert_allclose(
         np.asarray(out_a["token_logits"]), np.asarray(out_pre["token_logits"]),
         atol=1e-5)
+
+
+def test_roi_sim_multihead():
+    """roi_sim_heads=K: (a) still an exact no-op at init (zero-init
+    sim_embed); (b) K must divide d_model; (c) with a randomized sim_embed,
+    K=4 responds to masked-slot mask changes like K=1 but produces a
+    DIFFERENT function (the reshaped per-head maps are a strictly different
+    parameterization); (d) masked-slot content invariance holds per head."""
+    import dataclasses
+
+    cfg4 = dataclasses.replace(CFG, box_roi=True, roi_sim=True, roi_sim_heads=4)
+    batch = _batch()
+    img, boxes, box_mask, text, text_mask = batch
+    model4 = ProgramExecutor(cfg4)
+    variables = model4.init(jax.random.PRNGKey(0), *batch)
+    # sim_embed input dim is S*K
+    assert variables["params"]["sim_embed"]["kernel"].shape == (
+        CFG.max_input_boxes * 4, CFG.d_model)
+
+    # (a) no-op at init vs box_roi-only sharing every other param
+    model_roi = ProgramExecutor(dataclasses.replace(CFG, box_roi=True))
+    shared = {k: v for k, v in variables["params"].items()
+              if k not in ("sim_roi_proj", "sim_img_proj", "sim_embed")}
+    out4 = model4.apply(variables, *batch)
+    out_roi = model_roi.apply({"params": shared}, *batch)
+    np.testing.assert_allclose(
+        np.asarray(out4["token_logits"]), np.asarray(out_roi["token_logits"]),
+        atol=1e-6)
+
+    # (b) validation
+    bad = dataclasses.replace(CFG, box_roi=True, roi_sim=True, roi_sim_heads=5)
+    with pytest.raises(ValueError, match="must divide"):
+        ProgramExecutor(bad).init(jax.random.PRNGKey(0), *batch)
+
+    # (c)+(d) randomize sim_embed: outputs move with mask, not with the
+    # content of a masked slot
+    p = dict(variables["params"])
+    p["sim_embed"] = {"kernel": jax.random.normal(
+        jax.random.PRNGKey(2), p["sim_embed"]["kernel"].shape) * 0.1,
+        "bias": p["sim_embed"]["bias"]}
+    out_a = model4.apply({"params": p}, img, boxes, box_mask, text, text_mask)
+    mask_b = box_mask.at[:, 1].set(False)
+    out_b = model4.apply({"params": p}, img, boxes, mask_b, text, text_mask)
+    assert np.abs(np.asarray(out_a["token_logits"])
+                  - np.asarray(out_b["token_logits"])).max() > 1e-6
+    boxes_c = boxes.at[:, 2, :].set(jnp.asarray([0.1, 0.1, 0.9, 0.9]))
+    out_c = model4.apply({"params": p}, img, boxes_c, box_mask, text, text_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_a["token_logits"]), np.asarray(out_c["token_logits"]),
+        atol=1e-5)
