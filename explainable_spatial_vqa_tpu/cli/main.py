@@ -573,7 +573,32 @@ def cmd_tally(args: argparse.Namespace) -> None:
 
         run_out = run_chains(runner)
         conf_threshold = exe_cfg.conf_threshold
-        if args.calibrate_conf:
+        if args.calibrate_conf_per_function:
+            # per-FUNCTION F1 operating points (same_* confidences sit far
+            # below the filters'; one global bar starves their recall AND
+            # their downstream steps) — calibrate, then re-run the chain
+            # with the per-function propagation gate
+            from explainable_spatial_vqa_tpu.evalsuite.executor_eval import (
+                build_conf_threshold_vector,
+                calibrate_chain_conf_thresholds_per_function,
+            )
+
+            thr_map, f1_map = calibrate_chain_conf_thresholds_per_function(
+                run_out, annotated, split_vocab["function"], value_vocab,
+                iou_threshold=args.iou_threshold,
+            )
+            logger.info("per-function conf thresholds: %s",
+                        {k: round(v, 2) for k, v in sorted(thr_map.items())})
+            vec = build_conf_threshold_vector(
+                split_vocab["function"], thr_map,
+                default=exe_cfg.conf_threshold)
+            calibrated_runner = ExecutorChainRunner(
+                executor, exe_vars, exe_cfg, max_steps=28, mesh=serve_mesh,
+                conf_thresholds=vec,
+            )
+            run_out = run_chains(calibrated_runner)
+            conf_threshold = thr_map
+        elif args.calibrate_conf:
             conf_threshold, f1 = calibrate_chain_conf_threshold(
                 run_out, annotated, split_vocab["function"], value_vocab,
                 iou_threshold=args.iou_threshold,
@@ -967,6 +992,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calibrate_conf", action="store_true",
                    help="F1-max confidence-threshold calibration before the "
                         "per-step tally")
+    p.add_argument("--calibrate_conf_per_function", action="store_true",
+                   help="per-FUNCTION F1 operating points instead of one "
+                        "global threshold (same_* confidences sit far below "
+                        "the filters'); gates both the tally and in-chain "
+                        "box propagation")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard chained inference over all devices "
                         "(replicated params, batch-sharded loop)")

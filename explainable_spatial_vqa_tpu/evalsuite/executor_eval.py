@@ -24,6 +24,8 @@ __all__ = [
     "evaluate_executor_steps",
     "tally_predicted_chains",
     "calibrate_chain_conf_threshold",
+    "calibrate_chain_conf_thresholds_per_function",
+    "build_conf_threshold_vector",
 ]
 
 
@@ -75,7 +77,7 @@ def tally_predicted_chains(
     annotated: Any,
     function_vocab: Mapping[str, int],
     value_vocab: Mapping[str, int],
-    conf_threshold: float = 0.5,
+    conf_threshold: Any = 0.5,  # float or {base function -> thr} mapping
     iou_threshold: float = 0.5,
     max_steps: int = 28,
 ) -> DetectionTally:
@@ -95,6 +97,18 @@ def tally_predicted_chains(
     """
     from explainable_spatial_vqa_tpu.train.datasets import _parse_question_steps
 
+    # conf_threshold: scalar, or a per-function mapping {base name -> thr}
+    # with the fallback under "__global__" (the output of
+    # calibrate_chain_conf_thresholds_per_function)
+    if isinstance(conf_threshold, Mapping):
+        default = conf_threshold.get("__global__", 0.5)
+
+        def _thr(fn: str) -> float:
+            return conf_threshold.get(fn.split("[")[0], default)
+    else:
+        def _thr(fn: str) -> float:
+            return conf_threshold
+
     tally = DetectionTally(iou_threshold=iou_threshold)
     for i, q in enumerate(annotated):
         parsed = _parse_question_steps(q, function_vocab, value_vocab)
@@ -103,7 +117,7 @@ def tally_predicted_chains(
                 continue
             if p["is_box"]:
                 conf = run_out["conf_cache"][i, k]
-                keep = conf >= conf_threshold
+                keep = conf >= _thr(p["function"])
                 tally.add_box_step(
                     p["function"], run_out["box_cache"][i, k][keep],
                     p["target_boxes"],
@@ -135,16 +149,34 @@ def calibrate_chain_conf_threshold(
     Degenerate steps are skipped with exactly ``tally_predicted_chains``'s
     rules, so the calibrated threshold optimizes the same objective the
     tally reports.  Returns (best_threshold, best_f1)."""
+    confs, tps, _fns, total_gt = _collect_chain_detections(
+        run_out, annotated, function_vocab, value_vocab, iou_threshold,
+        max_steps)
+    if not confs:
+        return 0.5, 0.0
+    return calibrate_conf_threshold(
+        np.asarray(confs), np.asarray(tps), total_gt=total_gt
+    )
+
+
+def _collect_chain_detections(
+    run_out, annotated, function_vocab, value_vocab, iou_threshold, max_steps
+):
+    """(confidence, is-true-positive, base function) triples for every
+    chained box prediction, greedily matched in confidence order at
+    threshold 0 — the shared front half of both calibrators."""
     from explainable_spatial_vqa_tpu.train.datasets import _parse_question_steps
 
     confs = []
     tps = []
+    fns = []
     total_gt = 0
     for i, q in enumerate(annotated):
         parsed = _parse_question_steps(q, function_vocab, value_vocab)
         for k, p in enumerate(parsed[:max_steps]):
             if not p["is_box"] or not p["valid"]:
                 continue
+            base = p["function"].split("[")[0]
             gt_boxes = p["target_boxes"]
             total_gt += len(gt_boxes)
             conf = run_out["conf_cache"][i, k]
@@ -152,7 +184,7 @@ def calibrate_chain_conf_threshold(
             order = np.argsort(-conf)
             iou = box_iou_matrix(pred[order], np.asarray(gt_boxes))
             claimed = np.zeros(len(gt_boxes), bool)
-            for rank, p in enumerate(order):
+            for rank, j in enumerate(order):
                 hit = False
                 if len(gt_boxes):
                     avail = np.where(claimed, -1.0, iou[rank])
@@ -160,10 +192,79 @@ def calibrate_chain_conf_threshold(
                     if avail[g] >= iou_threshold:
                         claimed[g] = True
                         hit = True
-                confs.append(float(conf[p]))
+                confs.append(float(conf[j]))
                 tps.append(hit)
+                fns.append(base)
+    return confs, tps, fns, total_gt
+
+
+def calibrate_chain_conf_thresholds_per_function(
+    run_out: Dict[str, np.ndarray],
+    annotated: Any,
+    function_vocab: Mapping[str, int],
+    value_vocab: Mapping[str, int],
+    iou_threshold: float = 0.5,
+    max_steps: int = 28,
+    min_preds: int = 50,
+):
+    """Per-FUNCTION F1-maximizing confidence thresholds.
+
+    Functions differ systematically in confidence calibration: the box_roi
+    flagship's global F1 threshold landed at 0.90, where same_color recall
+    reads 0.073 — its true positives live below the global bar while the
+    filters' live above (DEMO.md round-4 tables).  A per-function operating
+    point is standard detection practice and matches how the thesis reports
+    Table 4.3 (per-function P/R rows).
+
+    Returns ({base function -> threshold, "__global__": fallback},
+    {base function -> f1, "__global__": global f1}).  Functions with fewer
+    than ``min_preds`` matched predictions keep the global fallback (a
+    handful of boxes cannot support their own operating point)."""
+    confs, tps, fns, total_gt = _collect_chain_detections(
+        run_out, annotated, function_vocab, value_vocab, iou_threshold,
+        max_steps)
     if not confs:
-        return 0.5, 0.0
-    return calibrate_conf_threshold(
-        np.asarray(confs), np.asarray(tps), total_gt=total_gt
-    )
+        return {"__global__": 0.5}, {"__global__": 0.0}
+    confs = np.asarray(confs)
+    tps = np.asarray(tps)
+    fns = np.asarray(fns)
+    # per-function GT totals (recall denominators) need the GT counts split
+    # by function, not the matched predictions
+    from explainable_spatial_vqa_tpu.train.datasets import _parse_question_steps
+
+    gt_by_fn: Dict[str, int] = {}
+    for i, q in enumerate(annotated):
+        parsed = _parse_question_steps(q, function_vocab, value_vocab)
+        for p in parsed[:max_steps]:
+            if p["is_box"] and p["valid"]:
+                base = p["function"].split("[")[0]
+                gt_by_fn[base] = gt_by_fn.get(base, 0) + len(p["target_boxes"])
+    g_thr, g_f1 = calibrate_conf_threshold(confs, tps, total_gt=total_gt)
+    thr_map = {"__global__": float(g_thr)}
+    f1_map = {"__global__": float(g_f1)}
+    for fn in sorted(set(fns.tolist())):
+        sel = fns == fn
+        if int(sel.sum()) < min_preds:
+            continue
+        thr, f1 = calibrate_conf_threshold(
+            confs[sel], tps[sel], total_gt=gt_by_fn.get(fn, 0))
+        thr_map[fn] = float(thr)
+        f1_map[fn] = float(f1)
+    return thr_map, f1_map
+
+
+def build_conf_threshold_vector(
+    function_vocab: Mapping[str, int],
+    thr_map: Mapping[str, float],
+    default: float = 0.5,
+) -> np.ndarray:
+    """Function-vocab-id-indexed threshold vector for the chain runners'
+    ``conf_thresholds`` (per-function propagation gating).  Vocab keys are
+    fused tokens (e.g. 'filter_size[large]'); thresholds key on the base
+    name, falling back to thr_map['__global__'] then ``default``."""
+    fallback = float(thr_map.get("__global__", default))
+    size = max(function_vocab.values()) + 1
+    vec = np.full(size, fallback, np.float32)
+    for token, idx in function_vocab.items():
+        vec[idx] = float(thr_map.get(token.split("[")[0], fallback))
+    return vec

@@ -130,6 +130,7 @@ def chained_forward(
     max_steps: int,
     image_precomputed: bool = False,
     active_steps: Optional[jnp.ndarray] = None,
+    conf_thresholds: Optional[jnp.ndarray] = None,
 ) -> ChainState:
     """Run the whole-batch chained executor pass (one fori_loop over step
     positions, HBM caches threaded through).  Shared by the inference runner
@@ -174,7 +175,13 @@ def chained_forward(
         )
         is_box = jnp.argmax(out["routing_logits"], axis=-1) == 0  # (N,)
         pred_token = jnp.argmax(out["token_logits"], axis=-1).astype(jnp.int32)
-        conf_mask = (out["pred_conf"] >= cfg.conf_threshold) & is_box[:, None]
+        # propagation gate: per-FUNCTION operating points when a calibrated
+        # vector is given (functions differ systematically in confidence —
+        # same_* sits far below the filters; a single global threshold
+        # starves their downstream steps), else the config scalar
+        thr = (cfg.conf_threshold if conf_thresholds is None
+               else conf_thresholds[func][:, None])
+        conf_mask = (out["pred_conf"] >= thr) & is_box[:, None]
 
         active = k < num_steps
 
@@ -212,6 +219,7 @@ def chained_forward_pool(
     max_steps: int,
     slots: int = 128,
     return_iterations: bool = False,
+    conf_thresholds: Optional[jnp.ndarray] = None,
 ):
     """CONTINUOUS-BATCHING chained execution: one jitted while_loop over a
     fixed pool of ``slots``, each slot advancing its own question one chain
@@ -284,7 +292,9 @@ def chained_forward_pool(
         )
         is_box = jnp.argmax(out["routing_logits"], axis=-1) == 0  # (B,)
         pred_token = jnp.argmax(out["token_logits"], axis=-1).astype(jnp.int32)
-        conf_mask = (out["pred_conf"] >= cfg.conf_threshold) & is_box[:, None]
+        thr = (cfg.conf_threshold if conf_thresholds is None
+               else conf_thresholds[func][:, None])
+        conf_mask = (out["pred_conf"] >= thr) & is_box[:, None]
 
         # masked scatter: inactive slots (and zero-step rows, which the
         # plain runner never writes either) write to row n, dropped
@@ -343,11 +353,18 @@ class ExecutorChainRunner:
     """
 
     def __init__(self, model, variables, config: ExecutorConfig, max_steps: int = 28,
-                 mesh=None):
+                 mesh=None, conf_thresholds=None):
         self.model = model
         self.config = config
         self.max_steps = max_steps
         self.mesh = mesh
+        # optional per-FUNCTION propagation thresholds, indexed by
+        # function-vocab id (build with
+        # evalsuite.executor_eval.build_conf_threshold_vector); None = the
+        # config's global scalar
+        self.conf_thresholds = (
+            None if conf_thresholds is None
+            else jnp.asarray(conf_thresholds, jnp.float32))
         if mesh is not None:
             from explainable_spatial_vqa_tpu.parallel.mesh import (
                 batch_sharding, replicated,
@@ -382,6 +399,7 @@ class ExecutorChainRunner:
         return chained_forward(
             self.model, self.variables, image_tokens, functions, deps,
             num_steps, self.config, self.max_steps,
+            conf_thresholds=self.conf_thresholds,
         )
 
     def _run_dyn_impl(self, image_tokens, functions, deps, num_steps,
@@ -390,6 +408,7 @@ class ExecutorChainRunner:
             self.model, self.variables, image_tokens, functions, deps,
             num_steps, self.config, self.max_steps,
             active_steps=active_steps,
+            conf_thresholds=self.conf_thresholds,
         )
 
     def run(self, image_tokens, chains: ChainArrays) -> Dict[str, np.ndarray]:
@@ -463,7 +482,7 @@ class ExecutorChainRunner:
             if runner is None:
                 runner = ExecutorChainRunner(
                     self.model, self.variables, self.config, max_steps=depth,
-                    mesh=self.mesh,
+                    mesh=self.mesh, conf_thresholds=self.conf_thresholds,
                 )
                 self._bucket_runners[depth] = runner
             sub = ChainArrays(
@@ -518,6 +537,7 @@ class ExecutorChainRunner:
                     return chained_forward_pool(
                         self.model, self.variables, fts, img_idx, fns, dps,
                         nsteps, self.config, self.max_steps, slots=_slots,
+                        conf_thresholds=self.conf_thresholds,
                     )
                 fn = jax.jit(impl)
                 self._pool_jits[slots] = fn
@@ -555,6 +575,7 @@ class ExecutorChainRunner:
                 return chained_forward_pool(
                     self.model, variables, fts, img_idx, fns, dps, nsteps,
                     self.config, self.max_steps, slots=_slots,
+                    conf_thresholds=self.conf_thresholds,
                 )
 
             var_specs = jax.tree_util.tree_map(lambda _: P(), self.variables)

@@ -77,6 +77,7 @@ def main():
     roi_sim = bool(int(os.environ.get("DEMO_ROI_SIM", "0")))  # sim channel
     sim_heads = int(os.environ.get("DEMO_SIM_HEADS", "1"))
     count_embed = bool(int(os.environ.get("DEMO_COUNT_EMBED", "0")))
+    per_fn_conf = bool(int(os.environ.get("DEMO_PER_FN_CONF", "0")))
     max_steps = 16  # chained hops reach 16 nodes (max_nodes below)
 
     print(f"synthesizing corpus ({num_scenes} scenes x {qps}, "
@@ -168,10 +169,42 @@ def main():
         deps=arrays["deps"], num_steps=arrays["num_steps"], answers=[])
     img = features[arrays["image_index"]]
     run_out = runner.run_sorted(img, chains, batch=128)
-    thr, f1 = calibrate_chain_conf_threshold(
-        run_out, eval_ann, split_vocab["function"], split_vocab["other"],
-        max_steps=max_steps)
-    print(f"calibrated conf threshold {thr:.2f} (F1 {f1:.3f})")
+    if per_fn_conf:
+        from explainable_spatial_vqa_tpu.evalsuite.executor_eval import (
+            build_conf_threshold_vector,
+            calibrate_chain_conf_thresholds_per_function,
+        )
+        from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
+
+        thr, f1_map = calibrate_chain_conf_thresholds_per_function(
+            run_out, eval_ann, split_vocab["function"], split_vocab["other"],
+            max_steps=max_steps)
+        print("per-function conf thresholds:",
+              {k: round(v, 2) for k, v in sorted(thr.items())})
+        vec = build_conf_threshold_vector(split_vocab["function"], thr)
+        runner_pf = ExecutorChainRunner(
+            executor, exe_vars, exe_cfg, max_steps=max_steps,
+            conf_thresholds=vec)
+        run_out = runner_pf.run_sorted(img, chains, batch=128)
+        thr_label = "per-function"
+        # the per-function propagation gate also changes what downstream
+        # steps see — recompute the Table 4.2/4.5 answer pipeline with it
+        pipeline = InferencePipeline(
+            generator, gen_vars, runner_pf, program_inv,
+            split_vocab["function"])
+        result = pipeline.run(
+            enc_eval.questions, features, enc_eval.image_idxs,
+            gt_answers=gt_value_ids, gt_programs=enc_eval.programs)
+        pred = np.where(result.answer_valid, result.answers, -1)
+        acc = answer_accuracy_by_type(pred, gt_value_ids, final_functions)
+        print("by-type accuracy (per-function conf):",
+              {k: round(v, 3) for k, v in acc.items()})
+    else:
+        thr, f1 = calibrate_chain_conf_threshold(
+            run_out, eval_ann, split_vocab["function"], split_vocab["other"],
+            max_steps=max_steps)
+        print(f"calibrated conf threshold {thr:.2f} (F1 {f1:.3f})")
+        thr_label = f"{thr:.2f}"
     det = tally_predicted_chains(
         run_out, eval_ann, split_vocab["function"], split_vocab["other"],
         conf_threshold=thr, max_steps=max_steps)
@@ -215,7 +248,7 @@ def main():
             if k.startswith("correct_program"))),
         "",
         "### Per-function box P/R @ IoU 0.5 on predicted chains "
-        f"(Table 4.3 format; conf threshold {thr:.2f} F1-calibrated)",
+        f"(Table 4.3 format; conf threshold {thr_label} F1-calibrated)",
         "",
         "| function | precision | recall | gt boxes |",
         "|---|---|---|---|",

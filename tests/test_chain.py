@@ -396,3 +396,73 @@ def test_seq2seq_bucketed_matches_plain():
     plain = runner.run(img, chains)
     bucketed = run_bucketed_seq2seq(runner, img, chains, buckets=(2, 3))
     np.testing.assert_array_equal(bucketed["final_outputs"], plain["final_outputs"])
+
+
+def test_conf_threshold_vector_parity_and_gating():
+    """A conf_thresholds vector with every entry equal to the config scalar
+    must be EXACTLY the scalar runner across run/run_sorted/run_pool; making
+    one function's threshold stricter changes which boxes propagate."""
+    cfg = ExecutorConfig(
+        vocab_size=16, d_model=32, num_heads=4, encoder_layers=1,
+        box_decoder_layers=1, num_queries=3, num_image_tokens=4,
+        image_feature_dim=8, max_input_boxes=4, token_classes=8,
+    )
+    model = ProgramExecutor(cfg)
+    rng = np.random.RandomState(5)
+    m, n, max_steps = 3, 10, 6
+    feats = rng.rand(m, 4, 8).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats[:2]), jnp.zeros((2, 4, 4)),
+        jnp.ones((2, 4), bool), jnp.zeros((2, 3), jnp.int32),
+        jnp.ones((2, 3), bool),
+    )
+    functions = rng.randint(1, 10, (n, max_steps)).astype(np.int32)
+    deps = np.full((n, max_steps, 2), -1, np.int64)
+    num_steps = np.asarray([2, 6, 3, 1, 5, 4, 6, 2, 3, 5], np.int32)
+    for i in range(n):
+        for k in range(1, num_steps[i]):
+            deps[i, k, 0] = k - 1
+    image_index = rng.randint(0, m, n).astype(np.int32)
+    chains = ChainArrays(image_index, functions, deps, num_steps, [])
+
+    plain = ExecutorChainRunner(model, variables, cfg, max_steps=max_steps)
+    const_vec = np.full(16, cfg.conf_threshold, np.float32)
+    vec_runner = ExecutorChainRunner(
+        model, variables, cfg, max_steps=max_steps, conf_thresholds=const_vec)
+
+    base = plain.run(jnp.asarray(feats[image_index]), chains)
+    for name, out in (
+        ("run", vec_runner.run(jnp.asarray(feats[image_index]), chains)),
+        ("sorted", vec_runner.run_sorted(feats[image_index], chains, batch=4,
+                                         min_tail=2)),
+        ("pool", vec_runner.run_pool(feats, chains, slots=4)),
+    ):
+        for key in ("final_tokens", "final_is_token", "box_mask",
+                    "token_cache", "token_branch"):
+            np.testing.assert_array_equal(out[key], base[key],
+                                          err_msg=f"{key} ({name})")
+        for key in ("box_cache", "conf_cache"):
+            np.testing.assert_allclose(out[key], base[key], atol=1e-5,
+                                       err_msg=f"{key} ({name})")
+
+    # impossible threshold for every function: no box ever propagates,
+    # box_mask must be all-False everywhere (the gate is live)
+    assert base["box_mask"].any()
+    strict = ExecutorChainRunner(
+        model, variables, cfg, max_steps=max_steps,
+        conf_thresholds=np.full(16, 1.1, np.float32))
+    gated = strict.run(jnp.asarray(feats[image_index]), chains)
+    assert not gated["box_mask"].any()
+    # ...and per-FUNCTION: raising only some functions' bars flips only
+    # steps of those functions
+    sel_vec = np.full(16, cfg.conf_threshold, np.float32)
+    sel_vec[3] = 1.1
+    sel = ExecutorChainRunner(
+        model, variables, cfg, max_steps=max_steps, conf_thresholds=sel_vec)
+    out3 = sel.run(jnp.asarray(feats[image_index]), chains)
+    steps_fn3 = functions == 3
+    active = np.arange(max_steps)[None, :] < np.asarray(num_steps)[:, None]
+    assert not out3["box_mask"][steps_fn3].any()
+    # some non-fn3 active step still propagates boxes (upstream changes can
+    # cascade, but fn3 gating must not blanket-kill everything)
+    assert out3["box_mask"][active & ~steps_fn3].any()

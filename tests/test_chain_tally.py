@@ -104,3 +104,97 @@ def test_calibration_picks_separating_threshold():
     )
     assert 0.2 < t <= 0.9
     assert f1 == 1.0
+
+
+def test_tally_per_function_threshold_mapping():
+    """A {base function -> thr} mapping gates each step by ITS function's
+    threshold; a constant mapping equals the scalar exactly; lowering only
+    one function's bar recovers only that function's boxes."""
+    run_out = _run_out(True)
+    # push filter_color's confidence below the global bar
+    run_out["conf_cache"][0, 1, 0] = 0.3
+    scalar = tally_predicted_chains(
+        run_out, _annotated(), FUNC_VOCAB, VALUE_VOCAB, conf_threshold=0.5)
+    const_map = tally_predicted_chains(
+        run_out, _annotated(), FUNC_VOCAB, VALUE_VOCAB,
+        conf_threshold={"__global__": 0.5})
+    assert scalar.precision_recall() == const_map.precision_recall()
+    assert scalar.precision_recall()["filter_color"]["recall"] == 0.0
+    per_fn = tally_predicted_chains(
+        run_out, _annotated(), FUNC_VOCAB, VALUE_VOCAB,
+        conf_threshold={"__global__": 0.5, "filter_color": 0.25})
+    pr = per_fn.precision_recall()
+    assert pr["filter_color"] == {"precision": 1.0, "recall": 1.0}
+    assert pr["scene"] == {"precision": 1.0, "recall": 1.0}
+
+
+def test_calibrate_per_function_recovers_split_thresholds():
+    """Two functions with disjoint confidence regimes: the global threshold
+    must compromise, the per-function calibrator finds each one's operating
+    point (and small-n functions fall back to global)."""
+    from explainable_spatial_vqa_tpu.evalsuite.executor_eval import (
+        build_conf_threshold_vector,
+        calibrate_chain_conf_thresholds_per_function,
+    )
+
+    rng = np.random.RandomState(0)
+    records = []
+    n_q, q = 60, 4
+    box_cache = np.zeros((n_q, 2, q, 4), np.float32)
+    conf_cache = np.zeros((n_q, 2, q), np.float32)
+    for i in range(n_q):
+        # step 0: scene, high-confidence regime — TPs at ~0.9, FPs at ~0.7
+        gt0 = [[0.1, 0.1, 0.3, 0.3]]
+        box_cache[i, 0, 0] = gt0[0]
+        conf_cache[i, 0, 0] = 0.9 + 0.05 * rng.rand()
+        box_cache[i, 0, 1] = [0.6, 0.6, 0.9, 0.9]  # miss
+        conf_cache[i, 0, 1] = 0.7 + 0.05 * rng.rand()
+        # step 1: same_color, LOW-confidence regime — TPs at ~0.3, FPs ~0.1
+        gt1 = [[0.4, 0.4, 0.6, 0.6]]
+        box_cache[i, 1, 0] = gt1[0]
+        conf_cache[i, 1, 0] = 0.30 + 0.05 * rng.rand()
+        box_cache[i, 1, 1] = [0.0, 0.6, 0.2, 0.9]  # miss
+        conf_cache[i, 1, 1] = 0.10 + 0.05 * rng.rand()
+        records.append({
+            "image_index": i,
+            "annotated_program": [
+                {"function": "scene[]", "inputs": [],
+                 "output_values": "[0.1 0.1 0.3 0.3]"},
+                {"function": "same_color[]", "inputs": [0],
+                 "output_values": "[0.4 0.4 0.6 0.6]"},
+            ],
+        })
+    vocab = {"scene[]": 0, "same_color[]": 1}
+    run_out = {
+        "box_cache": box_cache, "conf_cache": conf_cache,
+        "token_cache": np.zeros((n_q, 2), np.int32),
+        "token_branch": np.zeros((n_q, 2), bool),
+    }
+    thr_map, f1_map = calibrate_chain_conf_thresholds_per_function(
+        run_out, records, vocab, VALUE_VOCAB, min_preds=20)
+    # each function's operating point separates its own TPs (conf >= thr)
+    # from its FPs (conf < thr): scene TPs live in [0.90, 0.95), FPs in
+    # [0.70, 0.75); same_color TPs in [0.30, 0.35), FPs in [0.10, 0.15)
+    assert 0.749 < thr_map["scene"] <= 0.9
+    assert 0.149 < thr_map["same_color"] <= 0.3
+    assert f1_map["scene"] == 1.0 and f1_map["same_color"] == 1.0
+    assert "__global__" in thr_map
+
+    # tally with the map: both functions perfect; with the global scalar:
+    # same_color recall 0
+    tally = tally_predicted_chains(
+        run_out, records, vocab, VALUE_VOCAB, conf_threshold=thr_map)
+    pr = tally.precision_recall()
+    assert pr["same_color"] == {"precision": 1.0, "recall": 1.0}
+    assert pr["scene"] == {"precision": 1.0, "recall": 1.0}
+
+    # vector for the chain runners: fused keys map through base names
+    vec = build_conf_threshold_vector(vocab, thr_map, default=0.5)
+    assert vec.shape == (2,)
+    assert abs(vec[0] - thr_map["scene"]) < 1e-6
+    assert abs(vec[1] - thr_map["same_color"]) < 1e-6
+
+    # min_preds fallback: a function below the floor keeps the global
+    thr_map2, _ = calibrate_chain_conf_thresholds_per_function(
+        run_out, records, vocab, VALUE_VOCAB, min_preds=10_000)
+    assert "scene" not in thr_map2 and "same_color" not in thr_map2
