@@ -169,45 +169,53 @@ def main():
         deps=arrays["deps"], num_steps=arrays["num_steps"], answers=[])
     img = features[arrays["image_index"]]
     run_out = runner.run_sorted(img, chains, batch=128)
+    # the baseline protocol ALWAYS runs (global F1 threshold on default-
+    # propagation chains), so per_fn_conf runs stay paired with runs that
+    # predate the per-function mode
+    thr, f1 = calibrate_chain_conf_threshold(
+        run_out, eval_ann, split_vocab["function"], split_vocab["other"],
+        max_steps=max_steps)
+    print(f"calibrated conf threshold {thr:.2f} (F1 {f1:.3f})")
+    thr_label = f"{thr:.2f}"
+    det = tally_predicted_chains(
+        run_out, eval_ann, split_vocab["function"], split_vocab["other"],
+        conf_threshold=thr, max_steps=max_steps)
+
+    det_pf = acc_pf = result_pf = thr_map = None
     if per_fn_conf:
+        # per-FUNCTION operating points: re-run BOTH the annotated chains
+        # and the answer pipeline with the per-function propagation gate
         from explainable_spatial_vqa_tpu.evalsuite.executor_eval import (
             build_conf_threshold_vector,
             calibrate_chain_conf_thresholds_per_function,
         )
         from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
 
-        thr, f1_map = calibrate_chain_conf_thresholds_per_function(
+        thr_map, f1_map = calibrate_chain_conf_thresholds_per_function(
             run_out, eval_ann, split_vocab["function"], split_vocab["other"],
             max_steps=max_steps)
         print("per-function conf thresholds:",
-              {k: round(v, 2) for k, v in sorted(thr.items())})
-        vec = build_conf_threshold_vector(split_vocab["function"], thr)
+              {k: round(v, 2) for k, v in sorted(thr_map.items())})
+        vec = build_conf_threshold_vector(split_vocab["function"], thr_map)
         runner_pf = ExecutorChainRunner(
             executor, exe_vars, exe_cfg, max_steps=max_steps,
             conf_thresholds=vec)
-        run_out = runner_pf.run_sorted(img, chains, batch=128)
-        thr_label = "per-function"
-        # the per-function propagation gate also changes what downstream
-        # steps see — recompute the Table 4.2/4.5 answer pipeline with it
-        pipeline = InferencePipeline(
+        run_out_pf = runner_pf.run_sorted(img, chains, batch=128)
+        det_pf = tally_predicted_chains(
+            run_out_pf, eval_ann, split_vocab["function"],
+            split_vocab["other"], conf_threshold=thr_map,
+            max_steps=max_steps)
+        pipeline_pf = InferencePipeline(
             generator, gen_vars, runner_pf, program_inv,
             split_vocab["function"])
-        result = pipeline.run(
+        result_pf = pipeline_pf.run(
             enc_eval.questions, features, enc_eval.image_idxs,
             gt_answers=gt_value_ids, gt_programs=enc_eval.programs)
-        pred = np.where(result.answer_valid, result.answers, -1)
-        acc = answer_accuracy_by_type(pred, gt_value_ids, final_functions)
+        pred_pf = np.where(result_pf.answer_valid, result_pf.answers, -1)
+        acc_pf = answer_accuracy_by_type(pred_pf, gt_value_ids,
+                                         final_functions)
         print("by-type accuracy (per-function conf):",
-              {k: round(v, 3) for k, v in acc.items()})
-    else:
-        thr, f1 = calibrate_chain_conf_threshold(
-            run_out, eval_ann, split_vocab["function"], split_vocab["other"],
-            max_steps=max_steps)
-        print(f"calibrated conf threshold {thr:.2f} (F1 {f1:.3f})")
-        thr_label = f"{thr:.2f}"
-    det = tally_predicted_chains(
-        run_out, eval_ann, split_vocab["function"], split_vocab["other"],
-        conf_threshold=thr, max_steps=max_steps)
+              {k: round(v, 3) for k, v in acc_pf.items()})
 
     elapsed = time.time() - t0
     platform = os.environ.get("DEMO_PLATFORM", "tpu")
@@ -267,8 +275,33 @@ def main():
         "```",
         result.tally.report(),
         "```",
-        END,
-    ])
+    ] + ([] if det_pf is None else [
+        "",
+        "### With per-function confidence operating points "
+        "(same model, per-function F1 thresholds gate tally AND in-chain "
+        "propagation)",
+        "",
+        "| " + " | ".join(type_keys) + " |",
+        "|" + "---|" * len(type_keys),
+        "| " + " | ".join(f"{acc_pf.get(k, float('nan')):.3f}"
+                          for k in type_keys) + " |",
+        "",
+        "| function | precision | recall | gt boxes | thr |",
+        "|---|---|---|---|---|",
+        *(f"| {fn} | {v['precision']:.3f} | {v['recall']:.3f} "
+          f"| {det_pf.box_gt[fn]} "
+          f"| {thr_map.get(fn, thr_map['__global__']):.2f} |"
+          for fn, v in sorted(det_pf.precision_recall().items())),
+        "",
+        "| function | token accuracy |",
+        "|---|---|",
+        *(f"| {fn} | {v:.3f} |"
+          for fn, v in sorted(det_pf.token_accuracy().items())),
+        "",
+        "```",
+        result_pf.tally.report(),
+        "```",
+    ]) + [END])
 
     from demo_common import splice_section
 
