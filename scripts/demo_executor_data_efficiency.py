@@ -99,15 +99,59 @@ def main():
         for a in eval_ann
     ])
     final_functions = [q["program"][-1]["function"] for q in eval_q]
-    rng = np.random.RandomState(seed + 1)
+
+    from demo_common import splice_section
+
+    def write_section(rows, partial):
+        # Splice after EVERY point so a partial sweep is still harvested
+        # if the session dies mid-run; rows render in ascending-n order
+        # regardless of the sweep execution order.
+        elapsed = time.time() - t0
+        platform = os.environ.get("DEMO_PLATFORM", "tpu")
+        type_keys = ["overall"] + sorted(
+            {k for _, acc, _, _ in rows for k in acc if k != "overall"})
+        note = (f"  PARTIAL — {len(rows)}/{len(sizes)} points done, "
+                f"sweep in progress." if partial else "")
+        lines = [
+            BEGIN,
+            "## Executor data efficiency (thesis §4.2.3 / Fig 4.4b "
+            "protocol)",
+            "",
+            f"`scripts/demo_executor_data_efficiency.py` — executor "
+            f"trained on N questions (fixed {exe_steps}-step recipe, "
+            f"cosine lr, grounding noise 0.03/0.1"
+            f"{', box_roi' if box_roi else ''}), evaluated on a FIXED "
+            f"{len(eval_ann)}-question held-out-scene set with GT program "
+            f"structure (generator held perfect — the executor curve in "
+            f"isolation, as Fig 4.4b).  Platform {platform}, "
+            f"{elapsed:.0f}s.{note}",
+            "",
+            "| train questions | " + " | ".join(type_keys) +
+            " | step-token acc | final train loss |",
+            "|---|" + "---|" * (len(type_keys) + 2),
+        ]
+        for n_train, acc, tok_overall, loss in sorted(rows):
+            lines.append(
+                f"| {n_train} | "
+                + " | ".join(f"{acc.get(k, float('nan')):.3f}"
+                             for k in type_keys)
+                + f" | {tok_overall:.3f} | {loss:.2f} |")
+        lines += ["", END]
+        section = "\n".join(lines)
+        demo_path = splice_section(section, BEGIN, END)
+        print(f"wrote section to {demo_path}")
+        print(section, flush=True)
 
     rows = []
     for n_train in sizes:
         n_train = min(n_train, len(train_ann_pool))
+        # Per-size RNG: the training subset for a given N is identical no
+        # matter what order the sweep runs in (lets us run largest-first).
+        rng = np.random.RandomState(seed + 1 + n_train)
         pick = rng.choice(len(train_ann_pool), n_train, replace=False)
         subset = [train_ann_pool[i] for i in sorted(pick)]
         print(f"training executor on {n_train} questions "
-              f"({exe_steps} steps, box_roi={box_roi})...")
+              f"({exe_steps} steps, box_roi={box_roi})...", flush=True)
         executor, exe_vars, exe_cfg, loss = train_executor_synthetic(
             subset, split_vocab, features, steps=exe_steps, seed=seed,
             noise=0.03, drop=0.1, lr_schedule="cosine", box_roi=box_roi)
@@ -126,41 +170,9 @@ def main():
             max(1, sum(det.token_total.values())))
         rows.append((n_train, acc, tok_overall, float(loss)))
         print(f"  answer acc {acc['overall']:.3f}, "
-              f"step-token acc {tok_overall:.3f}, final loss {loss:.4f}")
-
-    elapsed = time.time() - t0
-    platform = os.environ.get("DEMO_PLATFORM", "tpu")
-    type_keys = ["overall"] + sorted(
-        {k for _, acc, _, _ in rows for k in acc if k != "overall"})
-    lines = [
-        BEGIN,
-        "## Executor data efficiency (thesis §4.2.3 / Fig 4.4b protocol)",
-        "",
-        f"`scripts/demo_executor_data_efficiency.py` — executor trained on "
-        f"N questions (fixed {exe_steps}-step recipe, cosine lr, grounding "
-        f"noise 0.03/0.1{', box_roi' if box_roi else ''}), evaluated on a "
-        f"FIXED {len(eval_ann)}-question held-out-scene set with GT program "
-        f"structure (generator held perfect — the executor curve in "
-        f"isolation, as Fig 4.4b).  Platform {platform}, {elapsed:.0f}s.",
-        "",
-        "| train questions | " + " | ".join(type_keys) +
-        " | step-token acc |",
-        "|---|" + "---|" * (len(type_keys) + 1),
-    ]
-    for n_train, acc, tok_overall, _ in rows:
-        lines.append(
-            f"| {n_train} | "
-            + " | ".join(f"{acc.get(k, float('nan')):.3f}"
-                         for k in type_keys)
-            + f" | {tok_overall:.3f} |")
-    lines += ["", END]
-    section = "\n".join(lines)
-
-    from demo_common import splice_section
-
-    demo_path = splice_section(section, BEGIN, END)
-    print(f"wrote section to {demo_path}")
-    print(section)
+              f"step-token acc {tok_overall:.3f}, final loss {loss:.4f}",
+              flush=True)
+        write_section(rows, partial=len(rows) < len(sizes))
 
 
 if __name__ == "__main__":
