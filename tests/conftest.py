@@ -21,8 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the slow e2e/sharding tests spend most of
 # their wall-time in XLA:CPU compiles of the same graphs every run; caching
-# them across sessions cuts the slow set dramatically (VERDICT r3 #7).
-# Repo-local so it survives between rounds; gitignored (binary artifacts).
+# them cuts repeat runs dramatically (VERDICT r3 #7).  Repo-local but
+# gitignored (binary, XLA-version-keyed artifacts) — NOTE: the sandbox
+# resets between sessions and only committed files survive, so the warm
+# benefit applies to repeat runs WITHIN a session, not across rounds.
 _CACHE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".jax_compilation_cache",
