@@ -1,0 +1,63 @@
+#!/bin/bash
+# Round-5 TPU job queue — the runs round 4 could not finish (sandbox resets
+# killed two detached queues; see CLAUDE.md "Round 4 session 3").
+#
+# Launch DETACHED at the very start of the session:
+#   setsid nohup bash jobs/queue_r5.sh > results/queue_r5.log 2>&1 < /dev/null &
+#   echo $! > /tmp/queue_r5.pid
+#
+# Rules this script encodes (CLAUDE.md "Platform gotchas"):
+#  - ONE python job at a time — the host has a single CPU and a TPU run
+#    starves if anything else runs. Jobs are strictly sequential.
+#  - All outputs/checkpoints under results/ (committed by the driver at
+#    session end), NEVER /tmp (wiped on resets).
+#  - Every demo script splices DEMO.md incrementally or is seed-resumable,
+#    so a mid-job kill still leaves a harvestable partial.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p results
+mark() { echo "[queue_r5] $(date -u +%H:%M:%S) $*" ; }
+
+# (0) Finish the 20k-step executor data-efficiency sweep if session 3's run
+# did not complete all three points (the script splices per point; rerunning
+# completed points is idempotent but wasteful — check DEMO.md first and trim
+# DEMO_SIZES to the missing ones).
+if grep -q "PARTIAL" DEMO.md; then
+  mark "dataeff 20k: PARTIAL in DEMO.md — rerunning full sweep"
+  DEMO_SIZES="5600,700,70" DEMO_EXE_STEPS=20000 \
+    timeout 7200 python scripts/demo_executor_data_efficiency.py \
+    > results/dataeff20k_r5.log 2>&1
+  mark "dataeff 20k done rc=$?"
+else
+  mark "dataeff 20k: already complete in DEMO.md — skipping"
+fi
+
+# (1) roi_sim_heads=4 flagship on the relational corpus (decides the
+# roi_sim/count_embed default-vs-opt-in question, DESIGN.md par.12/13).
+# Same knobs as the r4 flagship (0.632) except the sim channel, so the
+# comparison is paired.
+mark "flagship +roi_sim_heads=4 starting"
+DEMO_EXE_STEPS=24000 DEMO_LR_SCHEDULE=cosine DEMO_DMODEL=192 DEMO_LAYERS=3 \
+  DEMO_ROI_SIM=1 DEMO_SIM_HEADS=4 DEMO_OUT=results/flagship_roisim.md \
+  timeout 10800 python scripts/demo_accuracy_table.py \
+  > results/flagship_roisim.log 2>&1
+mark "flagship +roi_sim done rc=$?"
+
+# (2) Scheduled sampling at flagship scale (VERDICT r3 #6). Seed-resumable:
+# the checkpoint defaults to results/scheduled_at_scale_ckpt.json, so a
+# killed run resumes at the next completed seed.
+mark "scheduled-at-scale starting"
+timeout 14400 python scripts/demo_scheduled_at_scale.py \
+  > results/sched_scale_r5.log 2>&1
+mark "scheduled-at-scale done rc=$?"
+
+# (3) Slow-suite timing with a warm compilation cache (VERDICT r3 #7
+# follow-up). Two back-to-back runs: the first builds the repo-local cache,
+# the second measures warm. CPU-only — safe to run last, after TPU work.
+mark "slow suite cold (builds cache)"
+timeout 9000 python -m pytest tests/ -q -m slow > results/slowsuite_cold.log 2>&1
+mark "slow suite cold rc=$?"
+mark "slow suite warm (measures cache benefit)"
+timeout 9000 python -m pytest tests/ -q -m slow > results/slowsuite_warm.log 2>&1
+mark "slow suite warm rc=$?"
+mark "queue complete"

@@ -88,7 +88,13 @@ def main():
     ]
     results = {r: [] for r in regimes}
 
-    ckpt_path = os.environ.get("DEMO_CKPT", "/tmp/scheduled_at_scale.json")
+    # Default under results/ — /tmp is wiped on sandbox resets, and a lost
+    # checkpoint costs hours of seed reruns (learned the hard way in r4).
+    ckpt_path = os.environ.get(
+        "DEMO_CKPT",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "results",
+            "scheduled_at_scale_ckpt.json"))
     done_seeds = 0
     params_sig = [num_scenes, exe_steps, gen_steps, eval_scenes_n, p, noise,
                   drop, d_model, layers, int(box_roi)]
