@@ -43,6 +43,17 @@ DEMO_EXE_STEPS=24000 DEMO_LR_SCHEDULE=cosine DEMO_DMODEL=192 DEMO_LAYERS=3 \
   > results/flagship_roisim.log 2>&1
 mark "flagship +roi_sim done rc=$?"
 
+# (1b) Palette-matched apples-to-apples bound (DEMO.md "Corpus caveat"):
+# the r3-vs-r4 +5.5 comparison changed scene palettes along with box_roi;
+# this rerun (hop 0.3, DEMO_PALETTE=8 = r3's uniform colors) bounds how
+# much of the +5.5 is corpus drift vs box_roi.
+mark "flagship box_roi palette-8 (corpus-term bound) starting"
+DEMO_EXE_STEPS=24000 DEMO_LR_SCHEDULE=cosine DEMO_DMODEL=192 DEMO_LAYERS=3 \
+  DEMO_HOP_PROB=0.3 DEMO_PALETTE=8 DEMO_OUT=results/flagship_palette8.md \
+  timeout 10800 python scripts/demo_accuracy_table.py \
+  > results/flagship_palette8.log 2>&1
+mark "flagship palette-8 done rc=$?"
+
 # (2) Scheduled sampling at flagship scale (VERDICT r3 #6). Seed-resumable:
 # the checkpoint defaults to results/scheduled_at_scale_ckpt.json, so a
 # killed run resumes at the next completed seed.
