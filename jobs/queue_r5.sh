@@ -18,19 +18,14 @@ cd "$(dirname "$0")/.."
 mkdir -p results
 mark() { echo "[queue_r5] $(date -u +%H:%M:%S) $*" ; }
 
-# (0) Finish the 20k-step executor data-efficiency sweep if session 3's run
-# did not complete all three points (the script splices per point; rerunning
-# completed points is idempotent but wasteful — check DEMO.md first and trim
-# DEMO_SIZES to the missing ones).
-if grep -q "PARTIAL" DEMO.md; then
-  mark "dataeff 20k: PARTIAL in DEMO.md — rerunning full sweep"
-  DEMO_SIZES="5600,700,70" DEMO_EXE_STEPS=20000 \
-    timeout 7200 python scripts/demo_executor_data_efficiency.py \
-    > results/dataeff20k_r5.log 2>&1
-  mark "dataeff 20k done rc=$?"
-else
-  mark "dataeff 20k: already complete in DEMO.md — skipping"
-fi
+# (0) Finish the 20k-step executor data-efficiency sweep. The script is
+# resumable: completed points live in results/dataeff_rows_20000.json and
+# are skipped; it exits quickly if all three are done.
+mark "dataeff 20k starting (resumes from results/dataeff_rows_20000.json)"
+DEMO_SIZES="5600,700,70" DEMO_EXE_STEPS=20000 \
+  timeout 7200 python scripts/demo_executor_data_efficiency.py \
+  > results/dataeff20k_r5.log 2>&1
+mark "dataeff 20k done rc=$?"
 
 # (1) roi_sim_heads=4 flagship on the relational corpus (decides the
 # roi_sim/count_embed default-vs-opt-in question, DESIGN.md par.12/13).

@@ -18,6 +18,7 @@ DEMO_QPS (6), DEMO_SIZES (comma list of train-question counts; default
 "70,700,5600"), DEMO_EXE_STEPS (8000), DEMO_SEED (0), DEMO_BOX_ROI (1).
 """
 
+import json
 import logging
 import os
 import sys
@@ -102,6 +103,26 @@ def main():
 
     from demo_common import splice_section
 
+    # Per-point resume file: a killed sweep (session end / sandbox reset)
+    # leaves completed points here; the next launch skips them and still
+    # splices a COMBINED table. Lives under results/ (committed by the
+    # driver), never /tmp (wiped on resets).
+    rows_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "results", f"dataeff_rows_{exe_steps}.json")
+
+    def load_rows():
+        if not os.path.exists(rows_path):
+            return []
+        with open(rows_path) as f:
+            return [(int(n), acc, float(tok), float(loss))
+                    for n, acc, tok, loss in json.load(f)]
+
+    def save_rows(rows):
+        os.makedirs(os.path.dirname(rows_path), exist_ok=True)
+        with open(rows_path, "w") as f:
+            json.dump(rows, f)
+
     def write_section(rows, partial):
         # Splice after EVERY point so a partial sweep is still harvested
         # if the session dies mid-run; rows render in ascending-n order
@@ -142,9 +163,14 @@ def main():
         print(f"wrote section to {demo_path}")
         print(section, flush=True)
 
-    rows = []
+    rows = load_rows()
+    if rows:
+        print(f"resuming: {sorted(n for n, *_ in rows)} already done "
+              f"({rows_path})")
     for n_train in sizes:
         n_train = min(n_train, len(train_ann_pool))
+        if any(n == n_train for n, *_ in rows):
+            continue
         # Per-size RNG: the training subset for a given N is identical no
         # matter what order the sweep runs in (lets us run largest-first).
         rng = np.random.RandomState(seed + 1 + n_train)
@@ -172,6 +198,7 @@ def main():
         print(f"  answer acc {acc['overall']:.3f}, "
               f"step-token acc {tok_overall:.3f}, final loss {loss:.4f}",
               flush=True)
+        save_rows(rows)
         write_section(rows, partial=len(rows) < len(sizes))
 
 
