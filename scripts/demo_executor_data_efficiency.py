@@ -166,7 +166,8 @@ def main():
     rows = load_rows()
     if rows:
         print(f"resuming: {sorted(n for n, *_ in rows)} already done "
-              f"({rows_path})")
+              f"({rows_path}; delete it to force a full rerun)")
+    ran_any = False
     for n_train in sizes:
         n_train = min(n_train, len(train_ann_pool))
         if any(n == n_train for n, *_ in rows):
@@ -198,8 +199,11 @@ def main():
         print(f"  answer acc {acc['overall']:.3f}, "
               f"step-token acc {tok_overall:.3f}, final loss {loss:.4f}",
               flush=True)
+        ran_any = True
         save_rows(rows)
         write_section(rows, partial=len(rows) < len(sizes))
+    if not ran_any:
+        print("all requested points already complete — nothing to do")
 
 
 if __name__ == "__main__":
