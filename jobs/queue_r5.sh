@@ -32,7 +32,8 @@ mark "dataeff 20k done rc=$?"
 # Same knobs as the r4 flagship (0.632) except the sim channel, so the
 # comparison is paired.
 mark "flagship +roi_sim_heads=4 starting"
-DEMO_EXE_STEPS=24000 DEMO_LR_SCHEDULE=cosine DEMO_DMODEL=192 DEMO_LAYERS=3 \
+DEMO_SCENES=1400 DEMO_EXE_STEPS=24000 DEMO_LR_SCHEDULE=cosine \
+  DEMO_DMODEL=192 DEMO_LAYERS=3 \
   DEMO_ROI_SIM=1 DEMO_SIM_HEADS=4 DEMO_OUT=results/flagship_roisim.md \
   timeout 10800 python scripts/demo_accuracy_table.py \
   > results/flagship_roisim.log 2>&1
@@ -43,7 +44,8 @@ mark "flagship +roi_sim done rc=$?"
 # this rerun (hop 0.3, DEMO_PALETTE=8 = r3's uniform colors) bounds how
 # much of the +5.5 is corpus drift vs box_roi.
 mark "flagship box_roi palette-8 (corpus-term bound) starting"
-DEMO_EXE_STEPS=24000 DEMO_LR_SCHEDULE=cosine DEMO_DMODEL=192 DEMO_LAYERS=3 \
+DEMO_SCENES=1400 DEMO_EXE_STEPS=24000 DEMO_LR_SCHEDULE=cosine \
+  DEMO_DMODEL=192 DEMO_LAYERS=3 \
   DEMO_HOP_PROB=0.3 DEMO_PALETTE=8 DEMO_OUT=results/flagship_palette8.md \
   timeout 10800 python scripts/demo_accuracy_table.py \
   > results/flagship_palette8.log 2>&1
