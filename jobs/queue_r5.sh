@@ -27,14 +27,18 @@ DEMO_SIZES="5600,700,70" DEMO_EXE_STEPS=20000 \
   > results/dataeff20k_r5.log 2>&1
 mark "dataeff 20k done rc=$?"
 
-# (1) roi_sim_heads=4 flagship on the relational corpus (decides the
-# roi_sim/count_embed default-vs-opt-in question, DESIGN.md par.12/13).
-# Same knobs as the r4 flagship (0.632) except the sim channel, so the
-# comparison is paired.
-mark "flagship +roi_sim_heads=4 starting"
+# (1) roi_sim_heads=4 + count_embed flagship on the relational corpus
+# (decides the roi_sim/count_embed default-vs-opt-in question, DESIGN.md
+# par.12/13 — BOTH channels on, per the advisor: without DEMO_COUNT_EMBED=1
+# the d=192 evidence par.13 defers to would never be produced). Same knobs
+# as the r4 flagship (0.632) except the two channels, so the comparison is
+# paired; attribution between the two channels falls back to the d=96
+# GT-fed diagnostics if the joint run is mixed.
+mark "flagship +roi_sim_heads=4 +count_embed starting"
 DEMO_SCENES=1400 DEMO_EXE_STEPS=24000 DEMO_LR_SCHEDULE=cosine \
   DEMO_DMODEL=192 DEMO_LAYERS=3 \
-  DEMO_ROI_SIM=1 DEMO_SIM_HEADS=4 DEMO_OUT=results/flagship_roisim.md \
+  DEMO_ROI_SIM=1 DEMO_SIM_HEADS=4 DEMO_COUNT_EMBED=1 \
+  DEMO_OUT=results/flagship_roisim.md \
   timeout 10800 python scripts/demo_accuracy_table.py \
   > results/flagship_roisim.log 2>&1
 mark "flagship +roi_sim done rc=$?"

@@ -111,17 +111,39 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "results", f"dataeff_rows_{exe_steps}.json")
 
+    # Protocol signature stored with the rows: a resume under different
+    # corpus/recipe knobs must NOT silently merge into the same table
+    # (same guard demo_scheduled_at_scale.py uses).
+    params_sig = {
+        "scenes": num_scenes, "qps": qps, "seed": seed, "box_roi": box_roi,
+        "hop_prob": hop_prob, "chain_prob": chain_prob,
+        "max_steps": max_steps, "exe_steps": exe_steps,
+    }
+
     def load_rows():
         if not os.path.exists(rows_path):
             return []
         with open(rows_path) as f:
-            return [(int(n), acc, float(tok), float(loss))
-                    for n, acc, tok, loss in json.load(f)]
+            data = json.load(f)
+        if isinstance(data, list):  # legacy pre-signature format
+            print(f"WARNING: {rows_path} has no params signature "
+                  f"(legacy format) — assuming current protocol")
+            raw = data
+        else:
+            if data["sig"] != params_sig:
+                raise SystemExit(
+                    f"refusing to resume: {rows_path} was written under a "
+                    f"different protocol\n  stored:  {data['sig']}\n"
+                    f"  current: {params_sig}\n"
+                    f"Move/delete the file to start a fresh sweep.")
+            raw = data["rows"]
+        return [(int(n), acc, float(tok), float(loss))
+                for n, acc, tok, loss in raw]
 
     def save_rows(rows):
         os.makedirs(os.path.dirname(rows_path), exist_ok=True)
         with open(rows_path, "w") as f:
-            json.dump(rows, f)
+            json.dump({"sig": params_sig, "rows": rows}, f)
 
     def write_section(rows, partial):
         # Splice after EVERY point so a partial sweep is still harvested
@@ -131,8 +153,9 @@ def main():
         platform = os.environ.get("DEMO_PLATFORM", "tpu")
         type_keys = ["overall"] + sorted(
             {k for _, acc, _, _ in rows for k in acc if k != "overall"})
-        note = (f"  PARTIAL — {len(rows)}/{len(sizes)} points done, "
-                f"sweep in progress." if partial else "")
+        done = clamped_sizes & {n for n, *_ in rows}
+        note = (f"  PARTIAL — {len(done)}/{len(clamped_sizes)} points "
+                f"done, sweep in progress." if partial else "")
         lines = [
             BEGIN,
             "## Executor data efficiency (thesis §4.2.3 / Fig 4.4b "
@@ -163,13 +186,18 @@ def main():
         print(f"wrote section to {demo_path}")
         print(section, flush=True)
 
+    # The pending set is computed over CLAMPED requested sizes so that (a)
+    # a resume with a narrower DEMO_SIZES never labels an incomplete sweep
+    # complete, and (b) two sizes clamping to the same pool size can't
+    # leave the table marked PARTIAL forever.
+    clamped_sizes = {min(s, len(train_ann_pool)) for s in sizes}
+
     rows = load_rows()
     if rows:
         print(f"resuming: {sorted(n for n, *_ in rows)} already done "
               f"({rows_path}; delete it to force a full rerun)")
     ran_any = False
-    for n_train in sizes:
-        n_train = min(n_train, len(train_ann_pool))
+    for n_train in sorted(clamped_sizes, reverse=True):
         if any(n == n_train for n, *_ in rows):
             continue
         # Per-size RNG: the training subset for a given N is identical no
@@ -201,7 +229,8 @@ def main():
               flush=True)
         ran_any = True
         save_rows(rows)
-        write_section(rows, partial=len(rows) < len(sizes))
+        write_section(
+            rows, partial=bool(clamped_sizes - {n for n, *_ in rows}))
     if not ran_any:
         print("all requested points already complete — nothing to do")
 
