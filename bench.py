@@ -384,6 +384,7 @@ def run_vectorized(n, batch, device):
         "max_chain_depth": int(num_steps_np.max()),
         "useful_flops_per_question": useful_flops / n,
         "flops_per_sec": useful_flops / best,
+        "truncated_programs": chains.truncated,
     }
     return n / best, stats
 
@@ -511,6 +512,10 @@ def main():
         "mean_chain_depth": round(stats["mean_chain_depth"], 2),
         "max_chain_depth": stats["max_chain_depth"],
         "gflops_per_question": round(stats["useful_flops_per_question"] / 1e9, 2),
+        # first-class truncation accounting: synth_questions rejection-samples
+        # programs to depth <= 27 and the runners execute to max_steps=27, so
+        # nothing is ever cut — this key pins that invariant in the capture
+        "truncated_programs": stats.get("truncated_programs", 0),
     }))
 
 

@@ -536,6 +536,9 @@ def cmd_tally(args: argparse.Namespace) -> None:
     result = pipeline.run(questions, image_tokens, image_idxs,
                           gt_answers=gt_value_ids, gt_programs=programs,
                           chain_mode=args.chain_mode)
+    print(f"truncated_programs: {result.truncated} "
+          f"(generated programs deeper than max_steps=28; their execution "
+          f"was cut and their answers read a mid-chain value)")
     if result.tally is not None:
         print(result.tally.report())
         from explainable_spatial_vqa_tpu.evalsuite.accuracy import answer_accuracy_by_type
@@ -623,6 +626,9 @@ def cmd_tally(args: argparse.Namespace) -> None:
             "per_function_token_acc": step_tally.token_accuracy(),
             "conf_threshold": conf_threshold,
             "iou_threshold": args.iou_threshold,
+            # first-class truncation accounting (generated / GT chains)
+            "truncated_generated_programs": result.truncated,
+            "truncated_gt_programs": chains.truncated,
         }
         print(json.dumps(payload, indent=2))
 
@@ -697,6 +703,8 @@ def cmd_infer_chain(args: argparse.Namespace) -> None:
         model, variables, model_cfg, max_steps=args.max_steps,
         mesh=_serve_mesh(args),
     )
+    print(f"truncated_programs: {chains.truncated} "
+          f"(GT chains deeper than --max_steps={args.max_steps})")
     out = runner.run(image_tokens, chains)
     results = []
     for i, q in enumerate(annotated):

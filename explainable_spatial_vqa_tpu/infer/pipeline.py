@@ -101,7 +101,8 @@ def programs_to_chains(
             "and were truncated (their answers will read a mid-chain value)",
             truncated, max_steps,
         )
-    return ChainArrays(np.asarray(image_index, np.int32), functions, deps, num_steps, [])
+    return ChainArrays(np.asarray(image_index, np.int32), functions, deps,
+                       num_steps, [], truncated=truncated)
 
 
 @dataclass
@@ -110,6 +111,10 @@ class PipelineResult:
     answers: np.ndarray  # (N,) predicted answer token ids (value vocab)
     answer_valid: np.ndarray  # (N,) final step produced a token
     tally: Optional[FaithfulnessTally] = None
+    # generated programs deeper than the runner's max_steps whose execution
+    # was truncated — first-class metric, not just a log line (a corpus with
+    # deeper GT programs would otherwise silently corrupt the quadrants)
+    truncated: int = 0
 
 
 class InferencePipeline:
@@ -182,6 +187,7 @@ class InferencePipeline:
             program_ids=program_ids,
             answers=out["final_tokens"],
             answer_valid=out["final_is_token"],
+            truncated=chains.truncated,
         )
         if gt_answers is not None and gt_programs is not None:
             answers = np.where(result.answer_valid, result.answers, -1)

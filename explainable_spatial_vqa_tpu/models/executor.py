@@ -168,9 +168,21 @@ class ProgramExecutor(nn.Module):
         Chained inference calls this ONCE per question and reuses the result
         for every program step (the thesis §3.4.2 p.16 image-feature cache;
         the checked-in reference re-encodes the image every step,
-        inference_transformer_full_annotation_new.py:128-135)."""
+        inference_transformer_full_annotation_new.py:128-135).
+
+        With roi_sim on, the similarity channel's image-side keys
+        ``sim_img_proj(img)`` depend ONLY on these positioned tokens, so they
+        are computed here once per question and carried along the feature dim
+        — return shape (B, P, 2*d_model), split by :meth:`encode`.  This
+        removes the ~5% per-step FLOP waste of re-projecting the cached
+        tokens inside every chain step (docs/DESIGN.md §12), with zero extra
+        plumbing through the chain runners (one threaded array either way).
+        """
         img = self.image_proj(image_tokens.astype(self.dtype))
-        return img + jnp.asarray(self._image_pos, self.dtype)[None]
+        img = img + jnp.asarray(self._image_pos, self.dtype)[None]
+        if self.config.roi_sim:
+            return jnp.concatenate([img, self.sim_img_proj(img)], axis=-1)
+        return img
 
     def encode(
         self,
@@ -193,11 +205,19 @@ class ProgramExecutor(nn.Module):
         cfg = self.config
         batch = image_tokens.shape[0]
 
+        sim_keys = None
         if image_precomputed:
             img = image_tokens.astype(self.dtype)
+            if cfg.roi_sim:
+                # per-question cache carries [tokens | sim keys] along the
+                # feature dim (precompute_image) — split, don't re-project
+                img, sim_keys = (img[..., : cfg.d_model],
+                                 img[..., cfg.d_model :])
         else:
             img = self.image_proj(image_tokens.astype(self.dtype))
             img = img + jnp.asarray(self._image_pos, self.dtype)[None]
+            if cfg.roi_sim:
+                sim_keys = self.sim_img_proj(img)
 
         centers = jnp.stack(
             [
@@ -234,7 +254,8 @@ class ProgramExecutor(nn.Module):
                 heads = cfg.roi_sim_heads
                 dh = cfg.d_model // heads
                 q = self.sim_roi_proj(pooled)  # (B, S, d)
-                k = self.sim_img_proj(img)  # (B, P, d)
+                k = sim_keys  # (B, P, d) — cached per question when
+                # image_precomputed (see precompute_image), else fresh above
                 q = q.reshape(q.shape[:-1] + (heads, dh))
                 k = k.reshape(k.shape[:-1] + (heads, dh))
                 sim = jnp.einsum("bshd,bphd->bpsh", q, k) / jnp.sqrt(

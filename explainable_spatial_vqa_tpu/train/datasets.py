@@ -390,6 +390,12 @@ class ChainArrays:
     deps: np.ndarray  # (N, S, 2) dependency step indices, -1 = absent
     num_steps: np.ndarray  # (N,)
     answers: List[str]  # raw answer strings (for eval)
+    # First-class truncation accounting: how many programs exceeded the
+    # serving depth bound and had their tails dropped (their final step then
+    # reads a mid-chain value — answers score wrong, and silent truncation
+    # would corrupt the faithfulness quadrants; reference chains run to
+    # depth 27, utils_programs.py max program len).
+    truncated: int = 0
 
 
 def chain_arrays(
@@ -432,7 +438,8 @@ def chain_arrays(
             "answers will score wrong; raise max_steps to cover them",
             truncated, max_steps,
         )
-    return ChainArrays(image_index, functions, deps, num_steps, answers)
+    return ChainArrays(image_index, functions, deps, num_steps, answers,
+                       truncated=truncated)
 
 
 # ---------------------------------------------------------------------------

@@ -103,7 +103,10 @@ def _make_optimizer(learning_rate: float, lr_schedule: str, steps: int,
     constant-lr Adam and val-patience instead; these synthetic protocols
     run a fixed step count, where a terminal decay is the appropriate
     equivalent)."""
-    if lr_schedule == "constant":
+    if lr_schedule == "constant" or steps <= 0:
+        # steps == 0 is the checkpoint-resume path (no train iterations run,
+        # so the schedule is never evaluated — but warmup_cosine_decay would
+        # be CONSTRUCTED with decay_steps=0 and error)
         sched = learning_rate
     elif lr_schedule == "cosine":
         sched = optax.warmup_cosine_decay_schedule(

@@ -19,6 +19,7 @@ DEMO_SEED, DEMO_OUT.
 
 import logging
 import os
+import pickle
 import sys
 import time
 
@@ -54,6 +55,46 @@ logging.basicConfig(level=logging.INFO, format="%(message)s")
 
 BEGIN = "<!-- accuracy-tables:begin -->"
 END = "<!-- accuracy-tables:end -->"
+
+
+def _ckpt_path() -> str:
+    """Per-run params checkpoint under results/ (NEVER /tmp — CLAUDE.md),
+    keyed by the DEMO_OUT basename so concurrent protocols don't collide."""
+    out = os.environ.get("DEMO_OUT", "")
+    tag = os.path.splitext(os.path.basename(out))[0] if out else "default"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(root, "results", f"acc_ckpt_{tag}.pkl")
+
+
+def _load_ckpt(path: str, sig: dict) -> dict:
+    """Load the trained-params checkpoint if its protocol signature matches
+    (mismatched knobs silently merging runs is the dataeff-sweep bug class —
+    ADVICE r4 #3)."""
+    if not os.path.exists(path):
+        return {"sig": sig}
+    try:
+        with open(path, "rb") as f:
+            ck = pickle.load(f)
+    except Exception as e:  # truncated file from a mid-write kill
+        print(f"checkpoint {path} unreadable ({e}) — starting fresh")
+        return {"sig": sig}
+    if ck.get("sig") != sig:
+        print(f"checkpoint {path} protocol-signature mismatch — ignoring")
+        return {"sig": sig}
+    return ck
+
+
+def _save_ckpt(path: str, ck: dict) -> None:
+    import jax as _jax
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ck = {k: (_jax.tree_util.tree_map(lambda a: np.asarray(a), v)
+              if isinstance(v, dict) and "vars" in v else v)
+          for k, v in ck.items()}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(ck, f)
+    os.replace(tmp, path)  # atomic — a mid-write kill can't corrupt
 
 
 def main():
@@ -99,10 +140,31 @@ def main():
     eval_q = [q for q in questions if q["image_index"] not in train_scenes]
     eval_ann = [a for a in annotated if a["image_index"] not in train_scenes]
 
-    print(f"training generator on {len(train_q)} questions...")
-    generator, gen_vars, _gcfg, gen_loss = train_generator_synthetic(
-        train_q, clevr_vocab, steps=gen_steps, seed=seed,
-        lr_schedule=lr_schedule)
+    # Trained params checkpoint: the round-5 roi_sim flagship trained 24k
+    # steps (~48 min of TPU) then crashed in eval, losing everything — save
+    # params after each training phase so eval-side failures are resumable.
+    sig = dict(scenes=num_scenes, qps=qps, hop_prob=hop_prob,
+               chain_prob=chain_prob, palette=palette, gen_steps=gen_steps,
+               exe_steps=exe_steps, noise=noise, drop=drop, seed=seed,
+               lr_schedule=lr_schedule, d_model=d_model, layers=layers,
+               box_roi=box_roi, roi_sim=roi_sim, sim_heads=sim_heads,
+               count_embed=count_embed)
+    ckpt_path = _ckpt_path()
+    ck = _load_ckpt(ckpt_path, sig)
+
+    if "gen" in ck:
+        print("resuming TRAINED generator from checkpoint (0 steps)...")
+        generator, gen_vars, _gcfg, _ = train_generator_synthetic(
+            train_q, clevr_vocab, steps=0, seed=seed,
+            lr_schedule=lr_schedule, init_variables=ck["gen"]["vars"])
+        gen_loss = float(ck["gen"]["loss"])
+    else:
+        print(f"training generator on {len(train_q)} questions...")
+        generator, gen_vars, _gcfg, gen_loss = train_generator_synthetic(
+            train_q, clevr_vocab, steps=gen_steps, seed=seed,
+            lr_schedule=lr_schedule)
+        ck["gen"] = {"vars": gen_vars, "loss": gen_loss}
+        _save_ckpt(ckpt_path, ck)
     print(f"  final loss {gen_loss:.4f}")
 
     exe_config = None
@@ -119,16 +181,28 @@ def main():
             roi_sim=roi_sim, roi_sim_heads=sim_heads,
             count_embed=count_embed,
         )
-    print(f"training executor on {len(train_ann)} annotated questions "
-          f"({exe_steps} steps, noise={noise}, drop={drop}, "
-          f"lr_schedule={lr_schedule}"
-          + (f", d_model={d_model}" if d_model else "") + ")...")
-    executor, exe_vars, exe_cfg, exe_loss = train_executor_synthetic(
-        train_ann, split_vocab, features, steps=exe_steps, seed=seed,
-        noise=noise, drop=drop, lr_schedule=lr_schedule, config=exe_config,
-        box_roi=box_roi, roi_sim=roi_sim,
-        roi_sim_heads=sim_heads if roi_sim else None,
-        count_embed=count_embed)
+    if "exe" in ck:
+        print("resuming TRAINED executor from checkpoint (0 steps)...")
+        executor, exe_vars, exe_cfg, _ = train_executor_synthetic(
+            train_ann, split_vocab, features, steps=0, seed=seed,
+            noise=noise, drop=drop, lr_schedule=lr_schedule,
+            config=exe_config, box_roi=box_roi, roi_sim=roi_sim,
+            roi_sim_heads=sim_heads if roi_sim else None,
+            count_embed=count_embed, init_variables=ck["exe"]["vars"])
+        exe_loss = float(ck["exe"]["loss"])
+    else:
+        print(f"training executor on {len(train_ann)} annotated questions "
+              f"({exe_steps} steps, noise={noise}, drop={drop}, "
+              f"lr_schedule={lr_schedule}"
+              + (f", d_model={d_model}" if d_model else "") + ")...")
+        executor, exe_vars, exe_cfg, exe_loss = train_executor_synthetic(
+            train_ann, split_vocab, features, steps=exe_steps, seed=seed,
+            noise=noise, drop=drop, lr_schedule=lr_schedule, config=exe_config,
+            box_roi=box_roi, roi_sim=roi_sim,
+            roi_sim_heads=sim_heads if roi_sim else None,
+            count_embed=count_embed)
+        ck["exe"] = {"vars": exe_vars, "loss": exe_loss}
+        _save_ckpt(ckpt_path, ck)
     print(f"  final loss {exe_loss:.4f}")
 
     # ---- Table 4.2 + 4.5: full pipeline on held-out scenes ----
@@ -185,11 +259,14 @@ def main():
     if per_fn_conf:
         # per-FUNCTION operating points: re-run BOTH the annotated chains
         # and the answer pipeline with the per-function propagation gate
+        # NOTE: ExecutorChainRunner is imported at module scope — a local
+        # re-import here would make the name function-local and crash the
+        # UNCONDITIONAL use above with UnboundLocalError (this killed the
+        # round-5 roi_sim flagship after its full 24k-step training)
         from explainable_spatial_vqa_tpu.evalsuite.executor_eval import (
             build_conf_threshold_vector,
             calibrate_chain_conf_thresholds_per_function,
         )
-        from explainable_spatial_vqa_tpu.infer.chain import ExecutorChainRunner
 
         thr_map, f1_map = calibrate_chain_conf_thresholds_per_function(
             run_out, eval_ann, split_vocab["function"], split_vocab["other"],

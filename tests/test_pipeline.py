@@ -52,6 +52,58 @@ def test_programs_to_chains(fixture_train_question):
             assert chains.deps[0, s, d] == dep
 
 
+def test_programs_to_chains_truncation_is_counted():
+    """Truncation is a FIRST-CLASS metric (not just a log line): programs
+    deeper than max_steps must be counted on the returned ChainArrays so
+    tally/bench can report them instead of silently corrupting quadrants."""
+    deep = [{"function": "scene", "inputs": []}] + [
+        {"function": "filter_size[large]", "inputs": [i]} for i in range(7)
+    ]
+    shallow = deep[:3]
+    fn_vocab = {"scene": 1, "filter_size[large]": 2}
+    chains = programs_to_chains(
+        [deep, shallow, None], np.asarray([0, 0, 0]), fn_vocab, max_steps=4)
+    assert chains.truncated == 1
+    assert chains.num_steps[0] == 4  # cut at the bound
+    assert chains.num_steps[1] == 3  # untouched
+    ok = programs_to_chains(
+        [deep, shallow], np.asarray([0, 0]), fn_vocab, max_steps=16)
+    assert ok.truncated == 0
+
+
+def test_chain_arrays_truncation_is_counted():
+    """GT chains deeper than max_steps are counted too (cli tally reports
+    truncated_gt_programs from this field)."""
+    from explainable_spatial_vqa_tpu.train.datasets import chain_arrays
+
+    mk = lambda depth: {
+        "image_index": 0, "answer": "1",
+        "annotated_program": [
+            {"function": "scene", "inputs": []}] + [
+            {"function": "count", "inputs": [i]} for i in range(depth - 1)],
+    }
+    out = chain_arrays([mk(6), mk(2)], {"scene": 1, "count": 2}, max_steps=4)
+    assert out.truncated == 1
+    assert out.num_steps[0] == 4 and out.num_steps[1] == 2
+    assert chain_arrays([mk(2)], {"scene": 1, "count": 2},
+                        max_steps=4).truncated == 0
+
+
+def test_shipped_corpus_depth_within_serving_bound():
+    """Every shipped synthetic corpus pins GT depth <= its max_nodes knob, so
+    GT chains never truncate at a serving bound set to the corpus max_nodes
+    (the demo protocols run max_steps=16 with max_nodes=16)."""
+    from explainable_spatial_vqa_tpu.clevr.synthetic import synthesize_dataset
+
+    for hop_prob, chain_prob in [(0.0, 0.0), (1.0, 0.8)]:
+        _, questions = synthesize_dataset(
+            6, 6, seed=0, hop_prob=hop_prob, chain_prob=chain_prob,
+            max_nodes=16)
+        assert questions, "corpus synthesis produced no questions"
+        depths = [len(q["program"]) for q in questions]
+        assert max(depths) <= 16
+
+
 def test_pipeline_end_to_end(fixture_train_question):
     gen_cfg = GeneratorConfig(
         vocab_size=24, program_vocab_size=16, embed_dim=8, hidden_dim=12,
