@@ -29,15 +29,31 @@ fi
 # (A) roi_sim-only d=192 flagship — disentangles the combined run: does
 # roi_sim alone keep the equal_*/precision wins without the count/overall
 # regression?  Paired with the r4 0.632 box_roi flagship AND the r5
-# combined run (same corpus/protocol/seed).
+# combined run (same corpus/protocol/seed).  PER_FN_CONF=1 adds the
+# per-function operating-point tables in the same run (eval-only cost).
 mark "flagship +roi_sim_heads=4 (NO count_embed) starting"
 DEMO_SCENES=1400 DEMO_EXE_STEPS=24000 DEMO_LR_SCHEDULE=cosine \
   DEMO_DMODEL=192 DEMO_LAYERS=3 \
-  DEMO_ROI_SIM=1 DEMO_SIM_HEADS=4 \
+  DEMO_ROI_SIM=1 DEMO_SIM_HEADS=4 DEMO_PER_FN_CONF=1 \
   DEMO_OUT=results/flagship_roisim_only.md \
   timeout 10800 python scripts/demo_accuracy_table.py \
   >> results/flagship_roisim_only.log 2>&1
 mark "flagship roi_sim-only done rc=$?"
+
+# (A2) per-function operating points for the COMBINED flagship — eval-only
+# resume from results/acc_ckpt_flagship_roisim.pkl (env must match the
+# checkpoint signature exactly; PER_FN_CONF is not in the sig).  Tests
+# whether same_color recall 0.078 is a confidence-calibration artifact
+# (model ranks matches correctly but below the global 0.50 gate) or a
+# genuine detection miss.
+mark "per-fn conf eval-only resume of combined flagship starting"
+DEMO_SCENES=1400 DEMO_EXE_STEPS=24000 DEMO_LR_SCHEDULE=cosine \
+  DEMO_DMODEL=192 DEMO_LAYERS=3 \
+  DEMO_ROI_SIM=1 DEMO_SIM_HEADS=4 DEMO_COUNT_EMBED=1 DEMO_PER_FN_CONF=1 \
+  DEMO_OUT=results/flagship_roisim.md \
+  timeout 3600 python scripts/demo_accuracy_table.py \
+  >> results/flagship_roisim.log 2>&1
+mark "per-fn conf eval done rc=$?"
 
 # (2) Scheduled sampling at flagship scale (VERDICT r3 #6). Seed-resumable
 # via results/scheduled_at_scale_ckpt.json.
