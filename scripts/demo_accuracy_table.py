@@ -119,6 +119,13 @@ def main():
     sim_heads = int(os.environ.get("DEMO_SIM_HEADS", "1"))
     count_embed = bool(int(os.environ.get("DEMO_COUNT_EMBED", "0")))
     per_fn_conf = bool(int(os.environ.get("DEMO_PER_FN_CONF", "0")))
+    # conf-threshold calibration split: "eval" (legacy: fit on the eval
+    # questions themselves — 1 fitted param for the global gate, 13 for
+    # per-function) or "train" (fit on held-in TRAIN-scene chains, making
+    # every reported number out-of-sample — DEMO.md round-5 caveat (1))
+    conf_fit = os.environ.get("DEMO_CONF_FIT", "eval")
+    assert conf_fit in ("eval", "train"), conf_fit
+    conf_fit_n = int(os.environ.get("DEMO_CONF_FIT_N", "1500"))
     max_steps = 16  # chained hops reach 16 nodes (max_nodes below)
 
     print(f"synthesizing corpus ({num_scenes} scenes x {qps}, "
@@ -243,14 +250,40 @@ def main():
         deps=arrays["deps"], num_steps=arrays["num_steps"], answers=[])
     img = features[arrays["image_index"]]
     run_out = runner.run_sorted(img, chains, batch=128)
+
+    # calibration set: the eval chains themselves (legacy) or a subsample
+    # of held-in TRAIN-scene chains run through the same runner (honest
+    # out-of-sample operating points)
+    if conf_fit == "train":
+        calib_ann = [a for a in train_ann
+                     if 0 < len(_parse_question_steps(
+                         a, split_vocab["function"], split_vocab["other"]))
+                     <= max_steps]
+        if len(calib_ann) > conf_fit_n:
+            rng = np.random.default_rng(seed + 1)
+            idx = rng.choice(len(calib_ann), size=conf_fit_n, replace=False)
+            calib_ann = [calib_ann[i] for i in sorted(idx)]
+        cal_arrays = executor_chain_step_arrays(
+            calib_ann, split_vocab["function"], split_vocab["other"],
+            max_steps=max_steps, max_output_boxes=exe_cfg.num_queries)
+        cal_chains = ChainArrays(
+            image_index=cal_arrays["image_index"],
+            functions=cal_arrays["functions"], deps=cal_arrays["deps"],
+            num_steps=cal_arrays["num_steps"], answers=[])
+        cal_img = features[cal_arrays["image_index"]]
+        calib_run_out = runner.run_sorted(cal_img, cal_chains, batch=128)
+        print(f"conf thresholds fit on {len(calib_ann)} TRAIN-scene chains")
+    else:
+        calib_ann, calib_run_out = eval_ann, run_out
+
     # the baseline protocol ALWAYS runs (global F1 threshold on default-
     # propagation chains), so per_fn_conf runs stay paired with runs that
     # predate the per-function mode
     thr, f1 = calibrate_chain_conf_threshold(
-        run_out, eval_ann, split_vocab["function"], split_vocab["other"],
-        max_steps=max_steps)
-    print(f"calibrated conf threshold {thr:.2f} (F1 {f1:.3f})")
-    thr_label = f"{thr:.2f}"
+        calib_run_out, calib_ann, split_vocab["function"],
+        split_vocab["other"], max_steps=max_steps)
+    print(f"calibrated conf threshold {thr:.2f} (calib-split F1 {f1:.3f})")
+    thr_label = f"{thr:.2f}" + (" train-fit" if conf_fit == "train" else "")
     det = tally_predicted_chains(
         run_out, eval_ann, split_vocab["function"], split_vocab["other"],
         conf_threshold=thr, max_steps=max_steps)
@@ -269,8 +302,8 @@ def main():
         )
 
         thr_map, f1_map = calibrate_chain_conf_thresholds_per_function(
-            run_out, eval_ann, split_vocab["function"], split_vocab["other"],
-            max_steps=max_steps)
+            calib_run_out, calib_ann, split_vocab["function"],
+            split_vocab["other"], max_steps=max_steps)
         print("per-function conf thresholds:",
               {k: round(v, 2) for k, v in sorted(thr_map.items())})
         vec = build_conf_threshold_vector(split_vocab["function"], thr_map)
@@ -316,6 +349,8 @@ def main():
         + ((f", roi_sim(K={sim_heads})" if sim_heads != 1 else ", roi_sim")
            if roi_sim else "")
         + (", count_embed" if count_embed else "")
+        + (", conf thresholds fit on train-scene chains (out-of-sample)"
+           if conf_fit == "train" else "")
         + f"), {len(eval_q)} eval questions on held-out scenes, platform "
         f"{platform}, {elapsed:.0f}s.",
         "",
