@@ -574,9 +574,35 @@ def cmd_tally(args: argparse.Namespace) -> None:
                 return rnr.run_pool(image_tokens, chains)
             return rnr.run_sorted(image_tokens[chains.image_index], chains)
 
-        run_out = run_chains(runner)
         conf_threshold = exe_cfg.conf_threshold
-        if args.calibrate_conf_per_function:
+        if args.conf_thresholds:
+            # apply PRE-FITTED thresholds (e.g. calibrated on a held-in
+            # train/calibration split via --save_conf_thresholds) — the
+            # out-of-sample counterpart of the in-place --calibrate_conf*
+            # modes; the map gates both in-chain propagation and the tally
+            from explainable_spatial_vqa_tpu.evalsuite.executor_eval import (
+                build_conf_threshold_vector,
+            )
+
+            with open(args.conf_thresholds) as f:
+                thr_map = {k: float(v) for k, v in json.load(f).items()}
+            logger.info("loaded conf thresholds from %s: %s",
+                        args.conf_thresholds,
+                        {k: round(v, 2) for k, v in sorted(thr_map.items())})
+            vec = build_conf_threshold_vector(
+                split_vocab["function"], thr_map,
+                default=exe_cfg.conf_threshold)
+            calibrated_runner = ExecutorChainRunner(
+                executor, exe_vars, exe_cfg, max_steps=28, mesh=serve_mesh,
+                conf_thresholds=vec,
+            )
+            run_out = run_chains(calibrated_runner)
+            conf_threshold = thr_map
+        else:
+            run_out = run_chains(runner)
+        if args.conf_thresholds:
+            pass  # pre-fitted map already applied above; skip calibration
+        elif args.calibrate_conf_per_function:
             # per-FUNCTION F1 operating points (same_* confidences sit far
             # below the filters'; one global bar starves their recall AND
             # their downstream steps) — calibrate, then re-run the chain
@@ -616,6 +642,16 @@ def cmd_tally(args: argparse.Namespace) -> None:
                     max_steps=28, mesh=serve_mesh,
                 )
                 run_out = run_chains(calibrated_runner)
+        if args.save_conf_thresholds:
+            # persist the fitted operating points so a later tally on a
+            # DIFFERENT split (or a serving deployment) can reuse them via
+            # --conf_thresholds — calibrate-on-train, evaluate-on-eval
+            out_map = (conf_threshold if isinstance(conf_threshold, dict)
+                       else {"__global__": float(conf_threshold)})
+            with open(args.save_conf_thresholds, "w") as f:
+                json.dump(out_map, f, indent=2, sort_keys=True)
+            logger.info("saved conf thresholds to %s",
+                        args.save_conf_thresholds)
         step_tally = tally_predicted_chains(
             run_out, annotated, split_vocab["function"], value_vocab,
             conf_threshold=conf_threshold, iou_threshold=args.iou_threshold,
@@ -1005,6 +1041,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "global threshold (same_* confidences sit far below "
                         "the filters'); gates both the tally and in-chain "
                         "box propagation")
+    p.add_argument("--conf_thresholds", default=None,
+                   help="JSON file of pre-fitted conf thresholds "
+                        "({function: thr, '__global__': fallback}) to apply "
+                        "instead of calibrating in place — use with "
+                        "--save_conf_thresholds on a held-in split for "
+                        "out-of-sample operating points")
+    p.add_argument("--save_conf_thresholds", default=None,
+                   help="write the thresholds used for the per-step tally "
+                        "to this JSON file for reuse via --conf_thresholds")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard chained inference over all devices "
                         "(replicated params, batch-sharded loop)")

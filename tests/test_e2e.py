@@ -433,8 +433,27 @@ def test_real_fixture_full_chain_trainability(workdir, tmp_path, capsys):
         "--executor_checkpoint", str(tmp_path / "exe_ckpt"),
         "--annotated_h5", str(tmp_path / "annotated_v3.h5"),
         "--calibrate_conf",
+        "--save_conf_thresholds", str(tmp_path / "thr.json"),
     ])
     out = capsys.readouterr().out
     assert "correct_program_correct_answer" in out
     assert "per_function_box_pr" in out
     assert "conf_threshold" in out
+    # saved operating points round-trip: a second tally applies the
+    # pre-fitted map instead of calibrating in place (the CLI counterpart
+    # of DEMO_CONF_FIT=train's calibrate-on-train / evaluate-on-eval)
+    thr_saved = json.load(open(tmp_path / "thr.json"))
+    assert "__global__" in thr_saved
+    cli_main([
+        "--platform", "cpu", "tally",
+        "--questions_h5", str(workdir / "questions.h5"),
+        "--features_h5", str(tmp_path / "features_full.h5"),
+        "--vocab_json", str(workdir / "vocab.json"),
+        "--split_vocab_json", str(tmp_path / "split_vocab.json"),
+        "--generator_checkpoint", str(tmp_path / "gen_ckpt"),
+        "--executor_checkpoint", str(tmp_path / "exe_ckpt"),
+        "--annotated_h5", str(tmp_path / "annotated_v3.h5"),
+        "--conf_thresholds", str(tmp_path / "thr.json"),
+    ])
+    out = capsys.readouterr().out
+    assert "per_function_box_pr" in out
