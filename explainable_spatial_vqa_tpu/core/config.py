@@ -358,6 +358,18 @@ def _preset_map() -> Dict[str, ExperimentConfig]:
         train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
     )
 
+    # all three opt-in channels together — the round-5 capacity-scale
+    # decision configuration (roi_sim K=4 subspace match maps + the
+    # count identity hint on top of box_roi; DESIGN.md par-11-13)
+    presets["executor_roi_sim_count"] = ExperimentConfig(
+        name="executor_roi_sim_count",
+        model_family="executor",
+        model=ExecutorConfig(box_roi=True, roi_sim=True, roi_sim_heads=4,
+                             count_embed=True),
+        optim=OptimConfig(learning_rate=1e-4),
+        train=TrainConfig(batch_size=16, num_epochs=100, patience=10),
+    )
+
     presets["executor_scheduled"] = ExperimentConfig(
         name="executor_scheduled",
         model_family="executor_scheduled",

@@ -64,6 +64,14 @@ def test_preset_count():
         assert name in PRESETS, name
 
 
+def test_combined_channel_preset():
+    # the round-5 decision configuration: all three opt-in executor
+    # channels together, K=4 similarity subspaces (DESIGN.md par-11-13)
+    m = PRESETS["executor_roi_sim_count"].model
+    assert m.box_roi and m.roi_sim and m.count_embed
+    assert m.roi_sim_heads == 4
+
+
 def _train(workdir, preset, tmp_path, extra=()):
     hist = tmp_path / f"hist_{preset}.json"
     cli_main([
