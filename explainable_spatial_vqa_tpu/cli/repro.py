@@ -90,12 +90,12 @@ def _prepare_split(root, split, work, vocab, platform, torch_weights, resize,
 
 
 def _tally(art_eval, vocab, split_vocab, gen_ckpt, exe_ckpt, platform, limit,
-           executor_preset="executor"):
+           executor_preset="executor", conf_args=("--calibrate_conf",)):
     argv = ["tally", "--questions_h5", art_eval["questions_h5"],
             "--features_h5", art_eval["features_h5"],
             "--vocab_json", vocab, "--split_vocab_json", split_vocab,
             "--generator_checkpoint", gen_ckpt,
-            "--executor_checkpoint", exe_ckpt, "--calibrate_conf",
+            "--executor_checkpoint", exe_ckpt, *conf_args,
             "--executor_preset", executor_preset]
     if art_eval.get("annotated_h5"):
         argv += ["--annotated_h5", art_eval["annotated_h5"]]
@@ -183,11 +183,25 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
          platform)
 
     # 7. faithfulness + per-type + per-function tables on val
+    conf_args = ("--calibrate_conf",)
+    if getattr(args, "per_fn_conf", False):
+        # per-function operating points (DESIGN.md par-14), fitted on the
+        # held-in TRAIN split's chains and applied OUT-OF-SAMPLE to every
+        # val tally of this model (incl. the zero-shot CoGenT-B cell)
+        thr_json = os.path.join(work, "conf_thresholds.json")
+        _tally(train, vocab, split_vocab, gen_ckpt, exe_ckpt, platform,
+               args.eval_limit, args.executor_preset,
+               conf_args=("--calibrate_conf_per_function",
+                          "--save_conf_thresholds", thr_json))
+        conf_args = ("--conf_thresholds", thr_json)
     tally_out = _tally(val, vocab, split_vocab, gen_ckpt, exe_ckpt, platform,
-                       args.eval_limit, args.executor_preset)
+                       args.eval_limit, args.executor_preset,
+                       conf_args=conf_args)
     val_label = ("val split" if not val_substituted else
                  "TRAIN split substituted for missing val "
                  + "/".join(val_substituted) + " — not held-out")
+    if getattr(args, "per_fn_conf", False):
+        val_label += "; per-function conf thresholds fitted on train chains"
     report += [f"## Tables 4.2 / 4.3 / 4.4 / 4.5 ({val_label})",
                "answer accuracy by type; per-function box P/R @IoU0.5 and "
                "token accuracy on predicted chains; CPCA/CPIA/IPCA/IPIA "
@@ -205,8 +219,11 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
                 f"condition-B val split under {args.cogent_b_root} lacks "
                 "questions/images needed for the zero-shot valB cell")
         zero_a = tally_out
+        # same model as zero_a -> same conf gating scheme, so the A->B gap
+        # is measured at matched operating points
         zero_b = _tally(val_b, vocab, split_vocab, gen_ckpt, exe_ckpt,
-                        platform, args.eval_limit, args.executor_preset)
+                        platform, args.eval_limit, args.executor_preset,
+                        conf_args=conf_args)
         # fine-tune on a condition-B train subset (thesis: 3k img / 30k q),
         # resuming from the condition-A checkpoints (orbax restores latest);
         # same --batch_size as the condition-A runs so the four Table 4.6
@@ -278,6 +295,12 @@ def add_repro_parser(sub) -> None:
     p.add_argument("--resize", choices=["device", "pil"], default="pil",
                    help="pil bit-matches the reference preprocessing")
     p.add_argument("--feature_batch", type=int, default=64)
+    p.add_argument("--per_fn_conf", action="store_true",
+                   help="fit per-function confidence operating points on "
+                        "the train split's chains and apply them "
+                        "out-of-sample to the val tallies (DESIGN.md "
+                        "section 14; default: one F1-calibrated global "
+                        "threshold per tally)")
     p.add_argument("--gen_epochs", type=int, default=20)
     p.add_argument("--exe_epochs", type=int, default=100)
     p.add_argument("--executor_preset", default="executor",

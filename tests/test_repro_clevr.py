@@ -85,7 +85,7 @@ def test_repro_clevr_single_invocation(tmp_path, capsys):
 
 
 def _stubbed_repro(monkeypatch, tmp_path, splits, cogent_b=None,
-                   executor_preset="executor"):
+                   executor_preset="executor", per_fn_conf=False):
     """Drive cmd_repro_clevr's ORCHESTRATION with the heavy subcommands
     stubbed out: _prepare_split returns canned artifact dicts per
     (root, split), _sub records its argv.  Exercises the control flow the
@@ -111,7 +111,7 @@ def _stubbed_repro(monkeypatch, tmp_path, splits, cogent_b=None,
         torch_weights=None, resize="pil", feature_batch=8,
         gen_epochs=1, exe_epochs=1, ft_epochs=1, batch_size=4,
         eval_limit=8, cogent_b_root=cogent_b,
-        executor_preset=executor_preset)
+        executor_preset=executor_preset, per_fn_conf=per_fn_conf)
     repro.cmd_repro_clevr(args)
     return calls, (tmp_path / "w" / "REPORT.md").read_text()
 
@@ -152,6 +152,30 @@ def test_repro_executor_preset_threads_through(monkeypatch, tmp_path, capsys):
     assert len(tallies) == 4
     for c in tallies:
         assert c[c.index("--executor_preset") + 1] == "executor_roi"
+
+
+def test_repro_per_fn_conf_is_out_of_sample(monkeypatch, tmp_path, capsys):
+    """--per_fn_conf must fit the threshold map on the TRAIN split
+    (--calibrate_conf_per_function + --save_conf_thresholds) and apply the
+    saved map (--conf_thresholds) to the val AND zero-shot-B tallies of the
+    same model, never calibrating on the eval split itself."""
+    splits = {("A", "train"): FULL, ("A", "val"): FULL,
+              ("B", "train"): FULL, ("B", "val"): FULL}
+    calls, report = _stubbed_repro(monkeypatch, tmp_path, splits,
+                                   cogent_b="B", per_fn_conf=True)
+    tallies = [c for c in calls if c[0] == "tally"]
+    assert len(tallies) == 5  # one extra calibration tally on train
+    calib = tallies[0]
+    assert "--calibrate_conf_per_function" in calib
+    assert "--save_conf_thresholds" in calib
+    assert calib[calib.index("--annotated_h5") + 1] == "a.h5"
+    for c in tallies[1:3]:  # val + zero-shot-B: same model, saved map
+        assert "--conf_thresholds" in c
+        assert "--calibrate_conf" not in c
+        assert "--calibrate_conf_per_function" not in c
+    for c in tallies[3:]:  # fine-tuned model: the A-train map is stale
+        assert "--calibrate_conf" in c
+    assert "fitted on train chains" in report
 
 
 def test_repro_val_substitution_is_labeled(monkeypatch, tmp_path, capsys):
