@@ -59,6 +59,10 @@ def test_repro_clevr_single_invocation(tmp_path, capsys):
         "--torch_weights", str(weights),
         "--gen_epochs", "1", "--exe_epochs", "1",
         "--batch_size", "8", "--eval_limit", "8",
+        # flagship executor recipe + the out-of-sample per-function
+        # confidence flow (VERDICT r4 #9: keep the real-CLEVR path warm
+        # with whatever the accuracy protocol promotes)
+        "--executor_preset", "executor_roi", "--per_fn_conf",
     ])
     out = capsys.readouterr().out
 
@@ -78,6 +82,11 @@ def test_repro_clevr_single_invocation(tmp_path, capsys):
         "Table 4.6",
     ):
         assert marker in report, marker
+    # the per-fn flow fitted a threshold map on train and labeled the val
+    # tables as out-of-sample
+    thr_map = json.load(open(work / "conf_thresholds.json"))
+    assert "__global__" in thr_map
+    assert "fitted on train chains" in report
     # machine-readable artifact map on stdout
     payload = json.loads(out.strip().splitlines()[-1])
     assert payload["report"].endswith("REPORT.md")
