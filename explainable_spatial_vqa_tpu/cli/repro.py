@@ -185,7 +185,7 @@ def cmd_repro_clevr(args: argparse.Namespace) -> None:
     # 7. faithfulness + per-type + per-function tables on val
     conf_args = ("--calibrate_conf",)
     if getattr(args, "per_fn_conf", False):
-        # per-function operating points (DESIGN.md par-14), fitted on the
+        # per-function operating points (DESIGN.md §14), fitted on the
         # held-in TRAIN split's chains and applied OUT-OF-SAMPLE to every
         # val tally of this model (incl. the zero-shot CoGenT-B cell)
         thr_json = os.path.join(work, "conf_thresholds.json")
